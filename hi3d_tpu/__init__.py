@@ -1,0 +1,17 @@
+"""hi3d_tpu — a TPU-native (JAX/XLA/Pallas/pjit) framework with the capabilities of
+Hi3D (yanghb22-fdu/Hi3D-Official): two-stage image-to-3D generation via orbital
+video diffusion.
+
+This is a ground-up redesign, not a port: pure-functional flax modules, params as
+pytrees, `lax.scan` sampler loops, pjit/shard_map parallelism over device meshes,
+and Pallas kernels on the hot attention paths.
+
+Public surface mirrors the reference's config-driven instantiation
+(`instantiate_from_config({target, params})`, reference sgm/util.py:168-186) so
+that the shipped YAML configs keep working; the `sgm.*` / `vtdm.*` target names
+resolve to hi3d_tpu classes via `hi3d_tpu.registry`.
+"""
+
+__version__ = "0.1.0"
+
+from .config import instantiate_from_config, load_config  # noqa: F401

@@ -1,0 +1,248 @@
+"""Shared NN building blocks (flax.linen, NHWC layouts).
+
+Functional parity targets (reference file:line):
+- timestep_embedding: sgm/modules/diffusionmodules/util.py:207-231
+- GroupNorm32 (fp32 compute): openaimodel `normalization`, util.py:296-304
+- ResBlock: sgm/modules/diffusionmodules/openaimodel.py:210-354 (incl. the
+  3-D `kernel_size=[3,1,1]` time-stack variant and `exchange_temb_dims`)
+- Upsample / Downsample: openaimodel.py:107-206
+- AlphaBlender: sgm/modules/diffusionmodules/util.py:312-370
+
+TPU-first design notes:
+- Activations are NHWC / NTHWC (channels-last) — the layout XLA:TPU convs are
+  fastest in; the torch reference is NCHW and the weight converter transposes.
+- Normalizations compute in float32 and cast back to the activation dtype
+  (matching the reference's GroupNorm32/autocast behavior in bf16 training).
+- The temporal (3,1,1) conv is expressed as a 3-D conv over (T,H,W); with unit
+  spatial taps XLA lowers it to a batched matmul over neighboring frames.
+- Sub-module names mirror the torch module paths (`in_layers_2`,
+  `emb_layers_1`, ...) so checkpoint conversion is a mechanical rename.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = Any
+
+
+def timestep_embedding(
+    timesteps: jax.Array,
+    dim: int,
+    max_period: float = 10000.0,
+) -> jax.Array:
+    """Sinusoidal embeddings: [cos(t·f), sin(t·f)], f = exp(-log(P)·i/half)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        embedding = jnp.concatenate(
+            [embedding, jnp.zeros_like(embedding[:, :1])], axis=-1
+        )
+    return embedding
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) computed in fp32, output cast back to the input dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            name="norm",
+        )(x.astype(jnp.float32))
+        return y.astype(x.dtype)
+
+
+def _pad_for(kernel: Sequence[int]):
+    return [(k // 2, k // 2) for k in kernel]
+
+
+class ResBlock(nn.Module):
+    """Residual block: GN→SiLU→conv, +t-emb, GN→SiLU→zero-conv, skip.
+
+    `dims=2` operates on (N, H, W, C); `dims=3` on (B, T, H, W, C) with an
+    arbitrary kernel (Hi3D's time-stack uses (3, 1, 1)). With
+    `exchange_temb_dims`, `emb` is (B, T, E) and is added per-(B, T, C).
+    """
+
+    out_channels: int
+    dropout: float = 0.0
+    dims: int = 2
+    kernel_size: Union[int, Sequence[int]] = 3
+    exchange_temb_dims: bool = False
+    use_scale_shift_norm: bool = False
+    skip_t_emb: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, emb: Optional[jax.Array], deterministic: bool = True
+    ) -> jax.Array:
+        in_ch = x.shape[-1]
+        if isinstance(self.kernel_size, int):
+            kernel = (self.kernel_size,) * self.dims
+        else:
+            kernel = tuple(self.kernel_size)
+
+        h = GroupNorm32(name="in_layers_0")(x)
+        h = nn.silu(h)
+        h = nn.Conv(
+            self.out_channels,
+            kernel,
+            padding=_pad_for(kernel),
+            dtype=self.dtype,
+            name="in_layers_2",
+        )(h)
+
+        if not self.skip_t_emb:
+            emb_dim = (
+                2 * self.out_channels
+                if self.use_scale_shift_norm
+                else self.out_channels
+            )
+            emb_out = nn.Dense(emb_dim, dtype=self.dtype, name="emb_layers_1")(
+                nn.silu(emb.astype(self.dtype))
+            )
+            # broadcast over the spatial axes (channels-last: insert size-1
+            # axes just before C); with exchange_temb_dims the leading axes are
+            # (B, T) instead of (N,), which this reshape handles uniformly
+            emb_out = emb_out.reshape(
+                emb_out.shape[:-1] + (1,) * (h.ndim - emb_out.ndim) + emb_out.shape[-1:]
+            )
+        else:
+            emb_out = None
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(name="out_layers_0")(h) * (1 + scale) + shift
+        else:
+            if emb_out is not None:
+                h = h + emb_out.astype(h.dtype)
+            h = GroupNorm32(name="out_layers_0")(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(
+            self.out_channels,
+            kernel,
+            padding=_pad_for(kernel),
+            kernel_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="out_layers_3",
+        )(h)
+
+        if self.out_channels == in_ch:
+            skip = x
+        else:
+            skip = nn.Conv(
+                self.out_channels,
+                (1,) * self.dims,
+                dtype=self.dtype,
+                name="skip_connection",
+            )(x)
+        return skip + h
+
+
+class Upsample(nn.Module):
+    """Nearest ×2 upsample (+3×3 conv) on (N, H, W, C)."""
+
+    out_channels: int
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.use_conv:
+            x = nn.Conv(
+                self.out_channels,
+                (3, 3),
+                padding=[(1, 1), (1, 1)],
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Stride-2 3×3 conv downsample on (N, H, W, C)."""
+
+    out_channels: int
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.use_conv:
+            return nn.Conv(
+                self.out_channels,
+                (3, 3),
+                strides=(2, 2),
+                padding=[(1, 1), (1, 1)],
+                dtype=self.dtype,
+                name="op",
+            )(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class AlphaBlender(nn.Module):
+    """Learned sigmoid blend of spatial vs temporal branches.
+
+    alpha · x_spatial + (1 − alpha) · x_temporal, where alpha is 1 for batch
+    entries flagged image-only (so video layers become a no-op on images).
+
+    `mode` picks the broadcast layout of alpha computed from the (B, T)
+    indicator:
+      - "video5d": alpha → (B, T, 1, 1, 1) for (B, T, H, W, C) tensors
+      - "tokens3d": alpha → (B·T, 1, 1) for (B·T, S, C) tensors
+    """
+
+    alpha: float = 0.5
+    merge_strategy: str = "learned_with_images"
+    mode: str = "video5d"
+
+    @nn.compact
+    def __call__(
+        self,
+        x_spatial: jax.Array,
+        x_temporal: jax.Array,
+        image_only_indicator: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        if self.merge_strategy == "fixed":
+            alpha = jnp.float32(self.alpha)
+        elif self.merge_strategy in ("learned", "learned_with_images"):
+            mix = self.param(
+                "mix_factor",
+                lambda _key: jnp.full((1,), self.alpha, dtype=jnp.float32),
+            )
+            alpha = jax.nn.sigmoid(mix)[0]
+            if self.merge_strategy == "learned_with_images":
+                if image_only_indicator is None:
+                    raise ValueError("learned_with_images needs image_only_indicator")
+                alpha = jnp.where(
+                    image_only_indicator.astype(bool), jnp.float32(1.0), alpha
+                )  # (B, T)
+                if self.mode == "video5d":
+                    alpha = alpha[:, :, None, None, None]
+                elif self.mode == "tokens3d":
+                    alpha = alpha.reshape(-1)[:, None, None]
+                else:
+                    raise ValueError(f"unknown AlphaBlender mode {self.mode!r}")
+        else:
+            raise ValueError(f"unknown merge strategy {self.merge_strategy!r}")
+
+        alpha = jnp.asarray(alpha, dtype=x_spatial.dtype)
+        return alpha * x_spatial + (1.0 - alpha) * x_temporal

@@ -1,0 +1,77 @@
+"""Multi-head attention ops.
+
+This replaces the reference's CUDA attention backends (xformers
+memory-efficient attention and torch SDPA, reference sgm/modules/attention.py
+:15-47, :417-435) with TPU-native paths:
+
+- ``backend="xla"``: plain einsum attention with fp32 softmax. XLA fuses the
+  softmax chain into the matmuls; for the temporal factorization (seq=16,
+  enormous batch) this is the right shape — a flash kernel has nothing to tile.
+- ``backend="flash"``: Pallas flash-attention kernel (hi3d_tpu.ops.flash_attention)
+  for the spatial factorization (up to 16384 q-tokens at 1024² latents), where
+  materializing the (S, S) score matrix would blow HBM bandwidth.
+- ``backend="auto"``: picks per-shape (flash when q_len ≥ 1024 and the TPU
+  backend is available, else xla).
+
+All inputs are (batch, seq, heads, head_dim) ["BSHD"]; output matches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# flash path requires TPU; resolved lazily so CPU tests never import Pallas
+_FLASH_MIN_Q_LEN = 1024
+
+
+@functools.lru_cache(maxsize=1)
+def _flash_available() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Einsum attention with fp32 accumulation + fp32 softmax."""
+    *_, h, d = q.shape
+    if scale is None:
+        scale = d**-0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    probs = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    backend: str = "auto",
+) -> jax.Array:
+    """(B, Sq, H, D) × (B, Sk, H, D) → (B, Sq, H, D)."""
+    if backend == "auto":
+        use_flash = _flash_available() and q.shape[1] >= _FLASH_MIN_Q_LEN
+        backend = "flash" if use_flash else "xla"
+    if backend == "flash":
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    if backend == "xla":
+        return xla_attention(q, k, v, scale=scale)
+    raise ValueError(f"unknown attention backend {backend!r}")

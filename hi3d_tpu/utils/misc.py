@@ -1,0 +1,55 @@
+"""Small tensor/pytree helpers.
+
+Functional parity targets: reference sgm/util.py (append_dims :197-204,
+append_zero :191-194, default :145-150, count_params :153-158,
+expand_dims_like :117-120) — re-expressed for JAX arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def default(val: Optional[Any], d: Any) -> Any:
+    """Return `val` unless it is None, else `d` (calling it if callable)."""
+    if val is not None:
+        return val
+    return d() if callable(d) else d
+
+
+def append_dims(x: jax.Array, target_ndim: int) -> jax.Array:
+    """Append trailing size-1 dims until `x.ndim == target_ndim`."""
+    dims_to_append = target_ndim - x.ndim
+    if dims_to_append < 0:
+        raise ValueError(
+            f"input has {x.ndim} dims but target_ndim is {target_ndim}, which is less"
+        )
+    return x[(...,) + (None,) * dims_to_append]
+
+
+def expand_dims_like(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Append trailing size-1 dims to `x` until it has `y.ndim` dims."""
+    return append_dims(x, y.ndim)
+
+
+def append_zero(x: jax.Array) -> jax.Array:
+    """Concatenate a single zero onto the end of a 1-D array (σ-schedule tail)."""
+    return jnp.concatenate([x, jnp.zeros((1,), dtype=x.dtype)])
+
+
+class Identity:
+    """No-op placeholder (stands in for `torch.nn.Identity` loss configs)."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __call__(self, x, *args, **kwargs):
+        return x
+
+
+def count_params(params) -> int:
+    """Total number of scalar parameters in a pytree."""
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

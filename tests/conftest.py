@@ -1,0 +1,16 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so that
+mesh/sharding tests exercise real multi-device partitioning without TPU
+hardware (SURVEY.md §4 test strategy)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,84 @@
+"""Config system: YAML merge semantics, dotlist overrides, registry aliasing."""
+
+import textwrap
+
+from hi3d_tpu.config import (
+    apply_dotlist,
+    instantiate_from_config,
+    load_config,
+    merge_configs,
+)
+from hi3d_tpu.diffusion.scaling import VScalingWithEDMcNoise
+from hi3d_tpu.diffusion.discretization import EDMDiscretization
+
+
+def test_load_and_merge(tmp_path):
+    a = tmp_path / "a.yaml"
+    a.write_text(
+        textwrap.dedent(
+            """
+            model:
+              params:
+                num_samples: 16
+                scale_factor: 0.18215
+            data:
+              width: 512
+            """
+        )
+    )
+    b = tmp_path / "b.yaml"
+    b.write_text(
+        textwrap.dedent(
+            """
+            model:
+              params:
+                num_samples: 8
+            """
+        )
+    )
+    cfg = load_config([str(a), str(b)])
+    assert cfg["model"]["params"]["num_samples"] == 8  # right file wins
+    assert cfg["model"]["params"]["scale_factor"] == 0.18215  # untouched keys kept
+    assert cfg["data"]["width"] == 512
+
+
+def test_dotlist_overrides():
+    cfg = {"model": {"params": {"num_samples": 16}}}
+    apply_dotlist(cfg, ["model.params.num_samples=4", "data.width=256", "flag=true"])
+    assert cfg["model"]["params"]["num_samples"] == 4
+    assert cfg["data"]["width"] == 256
+    assert cfg["flag"] is True
+
+
+def test_merge_configs_does_not_mutate():
+    a = {"x": {"y": 1}}
+    b = {"x": {"z": 2}}
+    out = merge_configs(a, b)
+    assert out == {"x": {"y": 1, "z": 2}}
+    assert a == {"x": {"y": 1}}
+
+
+def test_instantiate_reference_target_names():
+    # reference configs use sgm.* paths; they must resolve to hi3d_tpu classes
+    obj = instantiate_from_config(
+        {
+            "target": "sgm.modules.diffusionmodules.denoiser_scaling.VScalingWithEDMcNoise"
+        }
+    )
+    assert isinstance(obj, VScalingWithEDMcNoise)
+
+    disc = instantiate_from_config(
+        {
+            "target": "sgm.modules.diffusionmodules.discretizer.EDMDiscretization",
+            "params": {"sigma_max": 700.0},
+        }
+    )
+    assert isinstance(disc, EDMDiscretization)
+    assert disc.sigma_max == 700.0
+
+
+def test_instantiate_hi3d_target_names():
+    obj = instantiate_from_config(
+        {"target": "hi3d_tpu.diffusion.scaling.EDMScaling", "params": {"sigma_data": 1.0}}
+    )
+    assert obj.sigma_data == 1.0
