@@ -1,0 +1,183 @@
+"""Spatial transformer stack for the UNet.
+
+Functional parity targets (reference file:line):
+- CrossAttention / MemoryEfficientCrossAttention: sgm/modules/attention.py
+  :260-453 (both are the same math; backend selection happens in
+  hi3d_tpu.ops.attention instead of at module-construction time)
+- GEGLU / FeedForward: attention.py:87-113
+- BasicTransformerBlock: attention.py:456-572
+- SpatialTransformer: attention.py:619-723 (use_linear=True path, the one both
+  Hi3D configs select via `use_linear_in_transformer: True`)
+
+Layout: token tensors are (N, S, C). LayerNorms run in fp32 (torch autocast
+semantics); GELU is the exact (erf) variant like torch's default.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.attention import dot_product_attention
+from .layers import GroupNorm32
+
+Dtype = Any
+
+
+class LayerNorm32(nn.Module):
+    """LayerNorm computed in fp32, cast back to input dtype (eps matches torch)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, name="norm")(
+            x.astype(jnp.float32)
+        )
+        return y.astype(x.dtype)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attention when `context` is None."""
+
+    heads: int
+    dim_head: int
+    out_dim: Optional[int] = None  # defaults to query dim
+    dtype: Dtype = jnp.float32
+    backend: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, context: Optional[jax.Array] = None
+    ) -> jax.Array:
+        inner = self.heads * self.dim_head
+        out_dim = self.out_dim if self.out_dim is not None else x.shape[-1]
+        ctx = x if context is None else context
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        b, sq, _ = q.shape
+        sk = k.shape[1]
+        q = q.reshape(b, sq, self.heads, self.dim_head)
+        k = k.reshape(b, sk, self.heads, self.dim_head)
+        v = v.reshape(b, sk, self.heads, self.dim_head)
+
+        out = dot_product_attention(q, k, v, backend=self.backend)
+        out = out.reshape(b, sq, inner)
+        return nn.Dense(out_dim, dtype=self.dtype, name="to_out_0")(out)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        xg = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        x, gate = jnp.split(xg, 2, axis=-1)
+        return x * jax.nn.gelu(gate, approximate=False)
+
+
+class FeedForward(nn.Module):
+    """(GE)GLU MLP: dim → 4·dim → dim_out."""
+
+    dim_out: Optional[int] = None
+    mult: int = 4
+    glu: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = int(x.shape[-1] * self.mult)
+        dim_out = self.dim_out if self.dim_out is not None else x.shape[-1]
+        if self.glu:
+            h = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
+        else:
+            h = nn.Dense(inner, dtype=self.dtype, name="net_0")(x)
+            h = jax.nn.gelu(h, approximate=False)
+        return nn.Dense(dim_out, dtype=self.dtype, name="net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn → cross-attn(context) → GEGLU FF, all residual."""
+
+    heads: int
+    dim_head: int
+    disable_self_attn: bool = False
+    dtype: Dtype = jnp.float32
+    attn_backend: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, context: Optional[jax.Array] = None
+    ) -> jax.Array:
+        attn = lambda name: CrossAttention(
+            heads=self.heads,
+            dim_head=self.dim_head,
+            dtype=self.dtype,
+            backend=self.attn_backend,
+            name=name,
+        )
+        x = attn("attn1")(
+            LayerNorm32(name="norm1")(x),
+            context=context if self.disable_self_attn else None,
+        ) + x
+        x = attn("attn2")(LayerNorm32(name="norm2")(x), context=context) + x
+        x = FeedForward(dtype=self.dtype, name="ff")(LayerNorm32(name="norm3")(x)) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GroupNorm → linear proj_in → transformer blocks over (H·W) tokens →
+    linear proj_out → residual. (N, H, W, C) in/out."""
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    use_linear: bool = True
+    disable_self_attn: bool = False
+    dtype: Dtype = jnp.float32
+    attn_backend: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, context: Optional[jax.Array] = None
+    ) -> jax.Array:
+        n, h, w, c = x.shape
+        inner = self.heads * self.dim_head
+        x_in = x
+        x = GroupNorm32(name="norm")(x)
+        if not self.use_linear:
+            x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(n, h * w, x.shape[-1])
+        if self.use_linear:
+            x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                heads=self.heads,
+                dim_head=self.dim_head,
+                disable_self_attn=self.disable_self_attn,
+                dtype=self.dtype,
+                attn_backend=self.attn_backend,
+                name=f"transformer_blocks_{i}",
+            )(x, context=context)
+
+        if self.use_linear:
+            x = nn.Dense(
+                c, kernel_init=nn.initializers.zeros, dtype=self.dtype,
+                name="proj_out",
+            )(x)
+            x = x.reshape(n, h, w, c)
+        else:
+            x = x.reshape(n, h, w, inner)
+            x = nn.Conv(
+                c, (1, 1), kernel_init=nn.initializers.zeros, dtype=self.dtype,
+                name="proj_out",
+            )(x)
+        return x + x_in

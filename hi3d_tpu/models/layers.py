@@ -51,15 +51,20 @@ def timestep_embedding(
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) computed in fp32, output cast back to the input dtype."""
+    """GroupNorm(32) computed in fp32, output cast back to the input dtype.
+
+    At real model widths channels are always a multiple of 32; for toy test
+    widths the group count falls back to gcd(channels, 32).
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        groups = math.gcd(x.shape[-1], self.num_groups)
         y = nn.GroupNorm(
-            num_groups=self.num_groups,
+            num_groups=groups,
             epsilon=self.epsilon,
             dtype=jnp.float32,
             name="norm",

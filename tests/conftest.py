@@ -1,10 +1,15 @@
 """Test configuration: run everything on CPU with 8 virtual devices so that
 mesh/sharding tests exercise real multi-device partitioning without TPU
-hardware (SURVEY.md §4 test strategy)."""
+hardware (SURVEY.md §4 test strategy).
+
+Note: the environment's axon site-hook forces JAX_PLATFORMS=axon (the tunneled
+TPU); plain env vars don't stick, so the platform is forced via jax.config
+before any backend is initialized. Without this, every op in the un-jitted
+test paths round-trips the TPU tunnel at ~6 ms/op.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +18,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
