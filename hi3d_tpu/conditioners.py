@@ -1,0 +1,359 @@
+"""Conditioning system: GeneralConditioner + the Hi3D embedder set.
+
+Functional parity targets (reference file:line):
+- GeneralConditioner: sgm/modules/encoders/modules.py:71-184 — runs each
+  embedder on its batch key, routes outputs by rank into
+  {vector, crossattn, concat}, concatenates per key, applies per-embedder
+  Bernoulli ucg dropout during training, and computes (c, uc) pairs with
+  force-zero keys for CFG.
+- FrozenOpenCLIPImageEmbedder(+Prediction): modules.py:570-728, 1028-1046 —
+  OpenCLIP ViT-H/14 pooled embedding of the conditioning frame (bicubic 224
+  resize + CLIP renorm), repeated n_copies → crossattn (B, 1, 1024).
+- ConcatTimestepEmbedderND: modules.py:913-929 — sinusoidal embedding of each
+  scalar dim (elevation / cond_aug), flattened → vector (B, 256·D).
+- VideoPredictionEmbedderWithEncoder: modules.py:951-1025 — VAE(mode) latent
+  of conditioning frame(s), packed (B, H/8, W/8, T·C) and repeated n_copies →
+  concat.
+- AesEmbedder: vtdm/encoders.py:56-91 — CLIP ViT-L/14 features of the middle
+  frame → L2-normalize → aesthetic MLP → [score, sinusoidal(score·100, 255)]
+  → vector (B, 256).
+- DepthEmbedder: vtdm/encoders.py:15-53 — DPT depth per frame, min-max
+  normalized, bilinear to (H/8·s, W/8·s), pixel-unshuffled s×s → concat
+  (B·T, H/8, W/8, s²).
+
+Conventions: channels-last everywhere. Videos are (B, T, H, W, C); frames
+(N, H, W, C); all image values in [-1, 1]. Concatenation happens on the
+trailing axis for every key (the NHWC equivalent of the reference's
+OUTPUT_DIM2KEYS/KEY2CATDIM, modules.py:72-73). RNG is explicit: pass `rng` to
+enable ucg dropout (training); omit it for deterministic inference.
+
+All Hi3D embedders are frozen (`is_trainable: False` in both shipped configs),
+so embedder params are held on the embedder objects and treated as closure
+constants under jit; the training step only differentiates the UNet.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import instantiate_from_config
+from .models.clip import (
+    AestheticMLP,
+    clip_normalize,
+    resize_bicubic,
+    resize_bilinear,
+    vit_h_14,
+    vit_l_14,
+)
+from .models.layers import timestep_embedding
+from .utils.misc import append_dims
+
+CondDict = Dict[str, jax.Array]
+
+
+class AbstractEmbedder:
+    """Base class: config wiring (input_key / ucg_rate / is_trainable) plus a
+    __call__ producing one conditioning array."""
+
+    input_key: Optional[str] = None
+    ucg_rate: float = 0.0
+    is_trainable: bool = False
+
+    # rank → output key, matching reference OUTPUT_DIM2KEYS (channels-last)
+    OUT_KEY_BY_NDIM = {2: "vector", 3: "crossattn", 4: "concat", 5: "concat"}
+
+    def __call__(self, x, rng: Optional[jax.Array] = None) -> jax.Array:
+        raise NotImplementedError
+
+    def init_params(self, rng: jax.Array) -> None:
+        """Initialize tower params (random). Checkpoint loading replaces them."""
+
+
+class GeneralConditioner:
+    def __init__(self, emb_models: Sequence[Dict], rng: Optional[jax.Array] = None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.embedders: List[AbstractEmbedder] = []
+        for n, embconfig in enumerate(emb_models):
+            embedder = instantiate_from_config(embconfig)
+            if not isinstance(embedder, AbstractEmbedder):
+                raise TypeError(
+                    f"embedder {type(embedder).__name__} must inherit AbstractEmbedder"
+                )
+            embedder.is_trainable = bool(embconfig.get("is_trainable", False))
+            embedder.ucg_rate = float(embconfig.get("ucg_rate", 0.0))
+            if "input_key" not in embconfig:
+                raise KeyError(f"embedder #{n} needs 'input_key'")
+            embedder.input_key = embconfig["input_key"]
+            rng, sub = jax.random.split(rng)
+            embedder.init_params(sub)
+            self.embedders.append(embedder)
+
+    def __call__(
+        self,
+        batch: Dict[str, Any],
+        force_zero_embeddings: Optional[Sequence[str]] = None,
+        rng: Optional[jax.Array] = None,
+        ucg_enabled: bool = True,
+    ) -> CondDict:
+        force_zero_embeddings = force_zero_embeddings or []
+        output: CondDict = {}
+        for embedder in self.embedders:
+            if rng is not None:
+                rng, emb_rng, ucg_rng = jax.random.split(rng, 3)
+            else:
+                emb_rng = ucg_rng = None
+            emb_out = embedder(batch[embedder.input_key], rng=emb_rng)
+            if not isinstance(emb_out, (list, tuple)):
+                emb_out = [emb_out]
+            for emb in emb_out:
+                out_key = self.OUT_KEY_BY_NDIM[emb.ndim]
+                if (
+                    ucg_enabled
+                    and embedder.ucg_rate > 0.0
+                    and ucg_rng is not None
+                ):
+                    keep = jax.random.bernoulli(
+                        ucg_rng, 1.0 - embedder.ucg_rate, (emb.shape[0],)
+                    )
+                    emb = append_dims(keep, emb.ndim).astype(emb.dtype) * emb
+                if embedder.input_key in force_zero_embeddings:
+                    emb = jnp.zeros_like(emb)
+                if out_key in output:
+                    output[out_key] = jnp.concatenate(
+                        [output[out_key], emb], axis=-1
+                    )
+                else:
+                    output[out_key] = emb
+        return output
+
+    def get_unconditional_conditioning(
+        self,
+        batch_c: Dict[str, Any],
+        batch_uc: Optional[Dict[str, Any]] = None,
+        force_uc_zero_embeddings: Optional[Sequence[str]] = None,
+        force_cond_zero_embeddings: Optional[Sequence[str]] = None,
+    ):
+        c = self(batch_c, force_cond_zero_embeddings, ucg_enabled=False)
+        uc = self(
+            batch_c if batch_uc is None else batch_uc,
+            force_uc_zero_embeddings,
+            ucg_enabled=False,
+        )
+        return c, uc
+
+
+# --------------------------------------------------------------------------
+# embedders
+# --------------------------------------------------------------------------
+
+
+class ConcatTimestepEmbedderND(AbstractEmbedder):
+    """Sinusoidal embedding per scalar dim, flattened (elevation / cond_aug)."""
+
+    def __init__(self, outdim: int):
+        self.outdim = int(outdim)
+
+    def __call__(self, x, rng=None) -> jax.Array:
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            x = x[:, None]
+        b, dims = x.shape
+        emb = timestep_embedding(x.reshape(-1), self.outdim)
+        return emb.reshape(b, dims * self.outdim)
+
+
+class FrozenOpenCLIPImageEmbedder(AbstractEmbedder):
+    """OpenCLIP ViT-H/14 pooled image embedding of [-1,1] NHWC frames."""
+
+    def __init__(
+        self,
+        arch: str = "ViT-H-14",
+        version: Optional[str] = None,
+        freeze: bool = True,
+        antialias: bool = True,
+        ucg_rate: float = 0.0,
+        unsqueeze_dim: bool = False,
+        dtype=jnp.float32,
+        **_unused,
+    ):
+        if arch != "ViT-H-14":
+            raise NotImplementedError(f"arch {arch} (Hi3D uses ViT-H-14)")
+        self.module = vit_h_14(dtype=dtype)
+        self.params = None
+        self.version = version
+        self.unsqueeze_dim = unsqueeze_dim
+
+    def init_params(self, rng):
+        if self.params is None:
+            x = jnp.zeros((1, 224, 224, 3))
+            self.params = self.module.init(rng, x)
+
+    def preprocess(self, x: jax.Array) -> jax.Array:
+        x = resize_bicubic(x, (224, 224))
+        return clip_normalize((x + 1.0) / 2.0)
+
+    def __call__(self, image, rng=None) -> jax.Array:
+        z = self.module.apply(self.params, self.preprocess(image))
+        if self.unsqueeze_dim:
+            z = z[:, None, :]
+        return z
+
+
+class FrozenOpenCLIPImagePredictionEmbedder(AbstractEmbedder):
+    """CLIP embedding of n_cond_frames, repeated n_copies → (B·n, T, 1024)."""
+
+    def __init__(self, open_clip_embedding_config: Dict, n_cond_frames: int, n_copies: int):
+        self.n_cond_frames = int(n_cond_frames)
+        self.n_copies = int(n_copies)
+        self.open_clip = instantiate_from_config(open_clip_embedding_config)
+
+    def init_params(self, rng):
+        self.open_clip.init_params(rng)
+
+    def __call__(self, vid, rng=None) -> jax.Array:
+        z = self.open_clip(vid)  # (B·T, 1024)
+        z = z.reshape(-1, self.n_cond_frames, z.shape[-1])  # (B, T, 1024)
+        return jnp.repeat(z, self.n_copies, axis=0)
+
+
+class VideoPredictionEmbedderWithEncoder(AbstractEmbedder):
+    """VAE-mode latents of conditioning frames → concat input.
+
+    Output (B·n_copies, H/8, W/8, n_cond_frames·C), frame-major channel
+    packing like the reference's `(b t) c h w -> b () (t c) h w`.
+    """
+
+    def __init__(
+        self,
+        n_cond_frames: int,
+        n_copies: int,
+        encoder_config: Dict,
+        sigma_sampler_config: Optional[Dict] = None,
+        sigma_cond_config: Optional[Dict] = None,
+        is_ae: bool = True,
+        scale_factor: float = 1.0,
+        disable_encoder_autocast: bool = True,
+        en_and_decode_n_samples_a_time: Optional[int] = None,
+    ):
+        self.n_cond_frames = int(n_cond_frames)
+        self.n_copies = int(n_copies)
+        self.encoder = instantiate_from_config(encoder_config)
+        self.sigma_sampler = (
+            instantiate_from_config(sigma_sampler_config)
+            if sigma_sampler_config
+            else None
+        )
+        if sigma_cond_config is not None:
+            raise NotImplementedError("sigma_cond not used by Hi3D")
+        self.is_ae = is_ae
+        self.scale_factor = float(scale_factor)
+
+    def init_params(self, rng):
+        if getattr(self.encoder, "params", None) is None:
+            self.encoder.init(rng, image_hw=(32, 32))
+
+    def __call__(self, vid, rng=None) -> jax.Array:
+        if self.sigma_sampler is not None and rng is not None:
+            rng_s, rng_n = jax.random.split(rng)
+            b = vid.shape[0] // self.n_cond_frames
+            sigmas = self.sigma_sampler(rng_s, b)
+            sigmas = jnp.repeat(sigmas, self.n_cond_frames, axis=0)
+            vid = vid + jax.random.normal(rng_n, vid.shape, vid.dtype) * append_dims(
+                sigmas, vid.ndim
+            ).astype(vid.dtype)
+
+        z = self.encoder.encode(vid)  # (B·T, h, w, c), deterministic mode
+        z = z * self.scale_factor
+
+        bt, h, w, c = z.shape
+        b = bt // self.n_cond_frames
+        # (B·T, h, w, c) → (B, h, w, T·C) frame-major packing
+        z = z.reshape(b, self.n_cond_frames, h, w, c)
+        z = z.transpose(0, 2, 3, 1, 4).reshape(b, h, w, self.n_cond_frames * c)
+        return jnp.repeat(z, self.n_copies, axis=0)
+
+
+class AesEmbedder(AbstractEmbedder):
+    """Aesthetic-score vector conditioning (stage 1 only)."""
+
+    def __init__(self, freeze: bool = True, dtype=jnp.float32):
+        self.clip = vit_l_14(dtype=dtype)
+        self.mlp = AestheticMLP(dtype=dtype)
+        self.clip_params = None
+        self.mlp_params = None
+
+    def init_params(self, rng):
+        r1, r2 = jax.random.split(rng)
+        if self.clip_params is None:
+            self.clip_params = self.clip.init(r1, jnp.zeros((1, 224, 224, 3)))
+        if self.mlp_params is None:
+            self.mlp_params = self.mlp.init(r2, jnp.zeros((1, 768)))
+
+    def __call__(self, video, rng=None) -> jax.Array:
+        # video: (B, T, H, W, C) in [-1, 1]; middle frame, 224×384 bilinear,
+        # center 224 crop (cols 80:304), CLIP renorm (vtdm/encoders.py:77-85)
+        t = video.shape[1]
+        y = video[:, t // 2]
+        y = resize_bilinear(y, (224, 384))[:, :, 80:304, :]
+        y = clip_normalize((y + 1.0) * 0.5)
+        feats = self.clip.apply(self.clip_params, y)  # (B, 768)
+        # L2 normalize (reference round-trips via numpy `normalized`)
+        norm = jnp.linalg.norm(feats.astype(jnp.float32), axis=-1, keepdims=True)
+        feats = feats / jnp.maximum(norm, 1e-12).astype(feats.dtype)
+        score = self.mlp.apply(self.mlp_params, feats)  # (B, 1)
+        emb = timestep_embedding(score[:, 0] * 100.0, 255)
+        return jnp.concatenate([score, emb.astype(score.dtype)], axis=-1)  # (B, 256)
+
+
+class DepthEmbedder(AbstractEmbedder):
+    """DPT depth maps pixel-unshuffled to latent resolution (stage 2)."""
+
+    def __init__(
+        self,
+        freeze: bool = True,
+        use_3d: bool = False,
+        shuffle_size: int = 3,
+        scale_factor: float = 2.6666,
+        dtype=jnp.float32,
+    ):
+        from .models.dpt import DPTDepthModel
+
+        if use_3d:
+            raise NotImplementedError("use_3d depth not used by Hi3D")
+        self.shuffle_size = int(shuffle_size)
+        self.scale_factor = float(scale_factor)
+        self.model = DPTDepthModel(dtype=dtype)
+        self.params = None
+
+    def init_params(self, rng):
+        if self.params is None:
+            self.params = self.model.init(rng, jnp.zeros((1, 384, 384, 3)))
+
+    def __call__(self, x, rng=None) -> jax.Array:
+        # x: (B·T, H, W, 3) or (B, T, H, W, 3) in [-1, 1]
+        if x.ndim == 5:
+            b, t, hh, ww, c = x.shape
+            x = x.reshape(b * t, hh, ww, c)
+        bt, hh, ww, _ = x.shape
+        s = self.shuffle_size
+
+        sh = int(hh / self.scale_factor / 32) * 32
+        sw = int(ww / self.scale_factor / 32) * 32
+        y = resize_bilinear(x, (sh, sw))
+        y = self.model.apply(self.params, y)  # (B·T, sh, sw) inverse depth
+        y = y[..., None]
+        y = resize_bilinear(y, (hh // 8 * s, ww // 8 * s))
+        # per-frame min-max normalize
+        ymin = jnp.min(y, axis=(1, 2, 3), keepdims=True)
+        y = y - ymin
+        ymax = jnp.max(y, axis=(1, 2, 3), keepdims=True)
+        y = y / jnp.maximum(ymax, 1e-6)
+        # pixel-unshuffle s×s → channels: (bt, h·s, w·s, 1) → (bt, h, w, s²)
+        h8, w8 = hh // 8, ww // 8
+        y = y.reshape(bt, h8, s, w8, s)
+        y = y.transpose(0, 1, 3, 2, 4).reshape(bt, h8, w8, s * s)
+        return y

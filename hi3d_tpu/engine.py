@@ -1,0 +1,344 @@
+"""DiffusionEngine and the Hi3D task layer (VideoLDM stages 1 & 2).
+
+Functional parity targets (reference file:line):
+- DiffusionEngine: sgm/models/diffusion.py:19-341 — glues network + denoiser +
+  sampler + conditioner + first-stage VAE + loss; chunked VAE encode/decode
+  (`en_and_decode_n_samples_a_time`, :117-150); `sample` (:237-252).
+- VideoLDM stage 1: vtdm/vtdm_gen_v01.py:24-201 — `add_custom_cond` builds
+  cond_frames(_without_noise)/cond_aug/image_only_indicator (:58-76);
+  video-shaped `shared_step` (:78-88); checkpoint loading incl. DeepSpeed
+  `module.`-prefixed .pt (:30-56); selective-parameter training via
+  `trained_param_keys` (:167-201).
+- VideoLDM stage 2: vtdm/vtdm_gen_stage2_degradeImage.py:25-213 — adds the
+  degradation model on the conditioning video during training (passthrough at
+  inference).
+
+TPU-native design:
+- The engine is a plain Python object holding flax modules + param pytrees;
+  everything it launches (sampling loop, train step) is a single jitted
+  function. Latents and frames are channels-last.
+- Sampling runs the whole 25-step CFG loop as one `lax.scan` program with the
+  UNet in `compute_dtype` (bf16 on TPU) and σ-math in fp32.
+- The VAE runs in fp32 by default (`disable_first_stage_autocast` parity).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import instantiate_from_config
+from .utils.misc import append_dims, default
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+}
+
+DEFAULT_WRAPPER = {
+    "target": "sgm.modules.diffusionmodules.wrappers.OpenAIWrapper"
+}
+
+
+class DiffusionEngine:
+    def __init__(
+        self,
+        network_config: Dict,
+        denoiser_config: Dict,
+        first_stage_config: Dict,
+        conditioner_config: Optional[Dict] = None,
+        sampler_config: Optional[Dict] = None,
+        optimizer_config: Optional[Dict] = None,
+        scheduler_config: Optional[Dict] = None,
+        loss_fn_config: Optional[Dict] = None,
+        network_wrapper: Optional[str] = None,
+        ckpt_path: Optional[str] = None,
+        use_ema: bool = False,
+        ema_decay_rate: float = 0.9999,
+        scale_factor: float = 1.0,
+        disable_first_stage_autocast: bool = False,
+        input_key: str = "jpg",
+        log_keys: Optional[List[str]] = None,
+        no_cond_log: bool = False,
+        compile_model: bool = False,
+        en_and_decode_n_samples_a_time: Optional[int] = None,
+        compute_dtype: str = "float32",
+        base_learning_rate: Optional[float] = None,  # config passthrough
+        seed: int = 0,
+    ):
+        self.compute_dtype = _DTYPES[compute_dtype]
+        self.input_key = input_key
+        self.scale_factor = float(scale_factor)
+        self.disable_first_stage_autocast = disable_first_stage_autocast
+        self.en_and_decode_n_samples_a_time = en_and_decode_n_samples_a_time
+        self.use_ema = use_ema
+        self.ema_decay_rate = ema_decay_rate
+        self.log_keys = log_keys
+        self.optimizer_config = optimizer_config
+        self.scheduler_config = scheduler_config
+        self.base_learning_rate = base_learning_rate
+
+        net_params = dict(network_config.get("params") or {})
+        net_params.setdefault("dtype", self.compute_dtype)
+        self.model = instantiate_from_config(
+            {"target": network_config["target"], "params": net_params}
+        )
+        from .models.wrappers import ConcatConditionWrapper, IdentityWrapper
+
+        if network_wrapper in (None, "sgm.modules.diffusionmodules.wrappers.OpenAIWrapper"):
+            self.wrapper = ConcatConditionWrapper(self.model)
+        else:
+            self.wrapper = instantiate_from_config(
+                {"target": network_wrapper, "params": {"module": self.model}}
+            )
+
+        self.denoiser = instantiate_from_config(denoiser_config)
+        self.sampler = (
+            instantiate_from_config(sampler_config) if sampler_config else None
+        )
+        self.conditioner = (
+            instantiate_from_config(conditioner_config) if conditioner_config else None
+        )
+        self.loss_fn = (
+            instantiate_from_config(loss_fn_config) if loss_fn_config else None
+        )
+        self.first_stage_model = instantiate_from_config(first_stage_config)
+
+        self.params: Optional[Dict] = None  # UNet params pytree
+        self.ema_params: Optional[Dict] = None
+        self._rng = jax.random.PRNGKey(seed)
+        self._ckpt_path = ckpt_path
+
+    # ------------------------------------------------------------------ rng
+    def next_rng(self) -> jax.Array:
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    # ----------------------------------------------------------------- init
+    def init(
+        self,
+        rng: Optional[jax.Array] = None,
+        latent_hw: Tuple[int, int] = (32, 32),
+        num_frames: int = 2,
+        image_hw: Optional[Tuple[int, int]] = None,
+    ):
+        """Initialize all param pytrees with toy-shaped tracers.
+
+        Shapes only fix parameter *structure* (conv channels etc.), so tiny
+        spatial extents keep init fast; real calls may use any H/W.
+        """
+        rng = default(rng, self.next_rng())
+        r_net, r_vae = jax.random.split(rng)
+
+        t = num_frames
+        in_ch = self.model.in_channels
+        ctx_dim = self.model.context_dim
+        adm = self.model.adm_in_channels
+        x = jnp.zeros((t, *latent_hw, in_ch), dtype=self.compute_dtype)
+        ts = jnp.zeros((t,))
+        ctx = jnp.zeros((1, 1, ctx_dim), dtype=self.compute_dtype)
+        y = jnp.zeros((1, adm), dtype=self.compute_dtype)
+        ind = jnp.zeros((1, t))
+        self.params = self.model.init(
+            r_net, x, ts, context=ctx, y=y, num_video_frames=t,
+            image_only_indicator=ind,
+        )
+        if getattr(self.first_stage_model, "params", None) is None:
+            self.first_stage_model.init(
+                r_vae, image_hw=default(image_hw, (64, 64))
+            )
+        if self._ckpt_path is not None:
+            self.init_from_ckpt(self._ckpt_path)
+        return self.params
+
+    def init_from_ckpt(self, path: str) -> None:
+        from .convert.torch_to_jax import load_engine_params
+
+        load_engine_params(self, path)
+
+    # ------------------------------------------------------------ first stage
+    def _chunked(self, fn, x: jax.Array) -> jax.Array:
+        n = self.en_and_decode_n_samples_a_time or x.shape[0]
+        if n >= x.shape[0]:
+            return fn(x)
+        outs = [fn(x[i : i + n]) for i in range(0, x.shape[0], n)]
+        return jnp.concatenate(outs, axis=0)
+
+    def encode_first_stage(self, x: jax.Array) -> jax.Array:
+        """(N, H, W, 3) in [-1,1] → scaled latents (N, H/8, W/8, 4); fp32."""
+        z = self._chunked(
+            lambda v: self.first_stage_model.encode(v.astype(jnp.float32)), x
+        )
+        return (self.scale_factor * z).astype(self.compute_dtype)
+
+    def decode_first_stage(self, z: jax.Array) -> jax.Array:
+        return self._chunked(
+            lambda v: self.first_stage_model.decode(
+                (1.0 / self.scale_factor) * v.astype(jnp.float32)
+            ),
+            z,
+        )
+
+    # --------------------------------------------------------------- network
+    def bound_network(self, params=None, **static_kwargs):
+        return self.wrapper.bind(default(params, self.params), **static_kwargs)
+
+    def make_denoiser_fn(
+        self,
+        params=None,
+        num_video_frames: int = 16,
+        image_only_indicator: Optional[jax.Array] = None,
+    ):
+        """denoiser(x, sigma, cond) closure for samplers.
+
+        `image_only_indicator` must already be CFG-doubled when the sampler's
+        guider doubles the batch (reference pipeline_i2v_eval_v01.py:79-86).
+        """
+        network = self.bound_network(
+            params,
+            num_video_frames=num_video_frames,
+            image_only_indicator=image_only_indicator,
+        )
+
+        def denoiser_fn(x, sigma, cond):
+            return self.denoiser(network, x, sigma, cond)
+
+        return denoiser_fn
+
+    # ---------------------------------------------------------------- sample
+    def sample(
+        self,
+        cond: Dict,
+        uc: Optional[Dict] = None,
+        shape: Optional[Sequence[int]] = None,
+        num_video_frames: Optional[int] = None,
+        image_only_indicator: Optional[jax.Array] = None,
+        rng: Optional[jax.Array] = None,
+        params=None,
+    ) -> jax.Array:
+        """Draw latents: full CFG sampling loop, jitted end to end."""
+        rng = default(rng, self.next_rng())
+        r_init, r_steps = jax.random.split(rng)
+        randn = jax.random.normal(r_init, tuple(shape), dtype=jnp.float32)
+        t = default(num_video_frames, shape[0])
+        if image_only_indicator is None:
+            # doubled for the CFG batch
+            image_only_indicator = jnp.zeros((2 * (shape[0] // t), t))
+        denoiser_fn = self.make_denoiser_fn(
+            params, num_video_frames=t, image_only_indicator=image_only_indicator
+        )
+        randn = randn.astype(self.compute_dtype)
+        return self.sampler(denoiser_fn, randn, cond, uc=uc, rng=r_steps)
+
+
+class VideoLDM(DiffusionEngine):
+    """Stage-1 image-to-orbital-video model."""
+
+    def __init__(
+        self,
+        num_samples: int,
+        trained_param_keys: Sequence[str] = ("",),
+        *args,
+        **kwargs,
+    ):
+        self.num_samples = int(num_samples)
+        self.trained_param_keys = list(trained_param_keys)
+        super().__init__(*args, **kwargs)
+
+    def add_custom_cond(
+        self, batch: Dict, infer: bool = False, rng: Optional[jax.Array] = None
+    ) -> Dict:
+        """Build cond_frames(_without_noise), cond_aug, image_only_indicator.
+
+        batch['video'] is (B, T, H, W, C) in [-1, 1].
+        """
+        batch = dict(batch)
+        batch["num_video_frames"] = self.num_samples
+        video = batch["video"]
+        image = video[:, 0]  # (B, H, W, C) first frame
+        batch["cond_frames_without_noise"] = image
+
+        n = video.shape[0]
+        rng = default(rng, self.next_rng())
+        r_aug, r_noise = jax.random.split(rng)
+        if not infer:
+            # train: cond_aug ~ exp(N(-3, 0.5)) per video (vtdm_gen_v01.py:66)
+            cond_aug = jnp.exp(
+                -3.0 + 0.5 * jax.random.normal(r_aug, (n,), dtype=jnp.float32)
+            )
+        else:
+            # infer: fixed σ=0.02 noise augmentation (vtdm_gen_v01.py:68-69)
+            cond_aug = jnp.full((n,), 0.02, dtype=jnp.float32)
+        batch["cond_aug"] = cond_aug
+        noise = jax.random.normal(r_noise, image.shape, dtype=image.dtype)
+        batch["cond_frames"] = image + append_dims(cond_aug, image.ndim).astype(
+            image.dtype
+        ) * noise
+
+        if "image_only_indicator" not in batch:
+            batch["image_only_indicator"] = jnp.zeros((n, self.num_samples))
+        return batch
+
+    def shared_step(self, batch: Dict, rng: Optional[jax.Array] = None):
+        """Training objective on one batch; returns (loss_scalar, loss_dict)."""
+        rng = default(rng, self.next_rng())
+        r_cond, r_custom, r_loss = jax.random.split(rng, 3)
+        batch = self.add_custom_cond(batch, infer=False, rng=r_custom)
+
+        video = batch[self.input_key]  # (B, T, H, W, C)
+        b, t = video.shape[:2]
+        frames = video.reshape(b * t, *video.shape[2:])
+        x = self.encode_first_stage(frames)
+
+        cond = self.conditioner(batch, rng=r_cond)
+        network = self.bound_network(
+            num_video_frames=batch["num_video_frames"],
+            image_only_indicator=batch["image_only_indicator"],
+        )
+        extra = {}
+        loss = self.loss_fn(network, self.denoiser, cond, x, batch, r_loss)
+        loss_mean = jnp.mean(loss)
+        return loss_mean, {"loss": loss_mean}
+
+
+class VideoLDMStage2(VideoLDM):
+    """Stage-2 video-to-video refiner: conditioning video is the (degraded
+    during training / raw at inference) input video; depth is added by the
+    DepthEmbedder through the conditioner."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.degradation = None  # set lazily by training (hi3d_tpu.data.degradation)
+
+    def add_custom_cond(
+        self, batch: Dict, infer: bool = False, rng: Optional[jax.Array] = None
+    ) -> Dict:
+        batch = dict(batch)
+        batch["num_video_frames"] = self.num_samples
+        video = batch["video"]  # (B, T, H, W, C)
+        n = video.shape[0]
+        batch["cond_frames_without_noise"] = video[:, 0]
+
+        if not infer:
+            if self.degradation is None:
+                from .data.degradation import DegradedImages
+
+                self.degradation = DegradedImages()
+            rng = default(rng, self.next_rng())
+            cond_video = self.degradation(
+                video, batch.get("masks"), batch.get("kernels"), rng=rng
+            )
+        else:
+            cond_video = video
+        # flatten to frames for the conditioner's per-frame embedders
+        batch["cond_frames"] = cond_video.reshape(-1, *cond_video.shape[2:])
+
+        batch["cond_aug"] = jnp.full((n,), 0.02, dtype=jnp.float32)
+        if "image_only_indicator" not in batch:
+            batch["image_only_indicator"] = jnp.zeros((n, self.num_samples))
+        return batch
