@@ -35,6 +35,19 @@ def tiny_unet(**kw):
 B, T, H, W = 1, 2, 8, 8
 
 
+def japply(model, params, x, ts, ctx, y, ind):
+    """Jitted apply — eager per-op dispatch dominates test time otherwise."""
+
+    @jax.jit
+    def run(params, x, ts, ctx, y, ind):
+        return model.apply(
+            params, x, ts, context=ctx, y=y, num_video_frames=T,
+            image_only_indicator=ind,
+        )
+
+    return run(params, x, ts, ctx, y, ind)
+
+
 def make_inputs(bt=B * T, per_frame=False):
     x = jax.random.normal(jax.random.PRNGKey(0), (bt, H, W, 8))
     ts = jnp.full((bt,), 0.5)
@@ -98,17 +111,12 @@ def test_remat_matches_no_remat(unet_and_params):
     params = jax.tree_util.tree_map(lambda p: p + 0.01 * jnp.ones_like(p), params)
     model_ckpt = tiny_unet(use_checkpoint=True)
     x, ts, ctx, y, ind = make_inputs()
-    out = model.apply(
-        params, x, ts, context=ctx, y=y, num_video_frames=T,
-        image_only_indicator=ind,
-    )
-    out_ckpt = model_ckpt.apply(
-        params, x, ts, context=ctx, y=y, num_video_frames=T,
-        image_only_indicator=ind,
-    )
+    out = japply(model, params, x, ts, ctx, y, ind)
+    out_ckpt = japply(model_ckpt, params, x, ts, ctx, y, ind)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ckpt), rtol=1e-5)
 
-    # gradients must flow through the remat path
+    # gradients must flow through the remat path (jitted — eager remat grad
+    # dispatches each rematerialized primitive separately and takes minutes)
     def loss(p):
         o = model_ckpt.apply(
             p, x, ts, context=ctx, y=y, num_video_frames=T,
@@ -116,7 +124,7 @@ def test_remat_matches_no_remat(unet_and_params):
         )
         return jnp.sum(o**2)
 
-    g = jax.grad(loss)(params)
+    g = jax.jit(jax.grad(loss))(params)
     gnorm = sum(float(jnp.sum(jnp.abs(v))) for v in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gnorm) and gnorm > 0
 
