@@ -66,7 +66,18 @@ def dot_product_attention(
 ) -> jax.Array:
     """(B, Sq, H, D) × (B, Sk, H, D) → (B, Sq, H, D)."""
     if backend == "auto":
-        use_flash = _flash_available() and q.shape[1] >= _FLASH_MIN_Q_LEN
+        from .flash_attention import DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q
+
+        # flash pays off only when BOTH sequence sides are long; Hi3D's
+        # cross-attention has a single CLIP kv-token and its temporal
+        # attention seq is 16 — both stay on the fused XLA path
+        use_flash = (
+            _flash_available()
+            and q.shape[1] >= _FLASH_MIN_Q_LEN
+            and k.shape[1] >= _FLASH_MIN_Q_LEN
+            and q.shape[1] % min(DEFAULT_BLOCK_Q, q.shape[1]) == 0
+            and k.shape[1] % min(DEFAULT_BLOCK_K, k.shape[1]) == 0
+        )
         backend = "flash" if use_flash else "xla"
     if backend == "flash":
         from .flash_attention import flash_attention

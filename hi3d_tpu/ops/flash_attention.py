@@ -1,0 +1,305 @@
+"""Pallas TPU flash attention (forward + backward), BSHD layout.
+
+TPU-native replacement for the reference's CUDA attention kernels
+(xformers `memory_efficient_attention`, sgm/modules/attention.py:417-435, and
+torch SDPA :15-47). Used for the *spatial* attention factorization of the
+VideoUNet (up to 16384 q-tokens per frame at 1024² latents) where
+materializing the (S, S) score matrix would blow HBM; the temporal
+factorization (S=16) stays on plain XLA einsum attention
+(hi3d_tpu.ops.attention.xla_attention).
+
+Design (standard FlashAttention-2 tiling):
+- inputs collapsed to (B·H, S, D); grid (bh, q-blocks, k-blocks) with the
+  k-block dimension innermost/sequential ("arbitrary") so the online-softmax
+  state lives in VMEM scratch across k steps;
+- fp32 softmax state and fp32 accumulator; the QKᵀ and PV matmuls run on the
+  MXU with `preferred_element_type=float32`;
+- forward also emits the log-sum-exp (lse) so the backward never
+  rematerializes full attention: dkv kernel iterates q-blocks per k-block,
+  dq kernel iterates k-blocks per q-block (the Δ = rowsum(dO∘O) trick);
+- no masking: Hi3D's attention is fully bidirectional (no causal, no
+  padding — token counts are h·w which we keep multiples of the block).
+
+Falls back cleanly: `flash_attention` asserts divisibility; callers
+(hi3d_tpu.ops.attention.dot_product_attention) route non-conforming shapes to
+the XLA path. On non-TPU backends the kernels run in interpreter mode so unit
+tests exercise the same code path on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
+_NEG_INF = -1e30  # avoid actual -inf: exp(-inf - -inf) = nan on first block
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
+                scale: float, nk: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # dots stay in the input dtype (bf16 MXU rate) with fp32 accumulation;
+    # scale applies to the fp32 scores so no precision is lost
+    s = scale * jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, bk)
+
+    m_prev = m_scr[:, :1]
+    m_curr = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    corr = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    m_scr[:, :1] = m_next
+    acc_scr[...] = acc_scr[...] * corr + jax.lax.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nk - 1)
+    def _():
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[...] / l).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:, :1] + jnp.log(l)
+
+
+def _fwd(q3, k3, v3, scale, block_q, block_k):
+    bh, sq, d = q3.shape
+    sk = k3.shape[1]
+    nq, nk = sq // block_q, sk // block_k
+    grid = (bh, nq, nk)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, nk=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq, d), q3.dtype),
+            jax.ShapeDtypeStruct((bh, sq, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(q3, k3, v3)
+    return out, lse
+
+
+# --------------------------------------------------------------------------
+# backward
+# --------------------------------------------------------------------------
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float, nq: int):
+    i = pl.program_id(2)  # q-block index (sequential)
+
+    @pl.when(i == 0)
+    def _():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    lse = lse_ref[0]                               # (bq, 1)
+    delta = delta_ref[0]                           # (bq, 1)
+    dt = q_ref.dtype
+
+    s = scale * jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # (bq, bk)
+    p = jnp.exp(s - lse)
+    # dv += pᵀ dO
+    dv_scr[...] += jax.lax.dot_general(
+        p.astype(dt), do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # ds = p ∘ (dO Vᵀ − Δ)
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - delta)).astype(dt)
+    # dk += dsᵀ q (·scale folded in at the final write)
+    dk_scr[...] += jax.lax.dot_general(
+        ds, q_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == nq - 1)
+    def _():
+        dk_ref[0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, dq_scr, *, scale: float, nk: int):
+    j = pl.program_id(2)  # k-block index (sequential)
+
+    @pl.when(j == 0)
+    def _():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+    dt = q_ref.dtype
+
+    s = scale * jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - delta)).astype(dt)
+    dq_scr[...] += jax.lax.dot(
+        ds, k_ref[0], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nk - 1)
+    def _():
+        dq_ref[0] = (dq_scr[...] * scale).astype(dq_ref.dtype)
+
+
+def _bwd(scale, block_q, block_k, res, g):
+    q3, k3, v3, out, lse = res
+    bh, sq, d = q3.shape
+    sk = k3.shape[1]
+    nq, nk = sq // block_q, sk // block_k
+    do = g
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+        keepdims=True,
+    )  # (bh, sq, 1)
+
+    q_spec_i = pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0))
+    kv_spec_j = pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0))
+    row_spec_i = pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, nq=nq),
+        grid=(bh, nk, nq),
+        in_specs=[q_spec_i, kv_spec_j, kv_spec_j, q_spec_i, row_spec_i,
+                  row_spec_i],
+        out_specs=[kv_spec_j, kv_spec_j],
+        out_shape=[
+            jax.ShapeDtypeStruct(k3.shape, k3.dtype),
+            jax.ShapeDtypeStruct(v3.shape, v3.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(q3, k3, v3, do, lse, delta)
+
+    q_spec_q = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
+    kv_spec_k = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0))
+    row_spec_q = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, nk=nk),
+        grid=(bh, nq, nk),
+        in_specs=[q_spec_q, kv_spec_k, kv_spec_k, q_spec_q, row_spec_q,
+                  row_spec_q],
+        out_specs=q_spec_q,
+        out_shape=jax.ShapeDtypeStruct(q3.shape, q3.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(q3, k3, v3, do, lse, delta)
+
+    return dq, dk, dv
+
+
+# --------------------------------------------------------------------------
+# public entry
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash3(q3, k3, v3, scale, block_q, block_k):
+    out, _ = _fwd(q3, k3, v3, scale, block_q, block_k)
+    return out
+
+
+def _flash3_fwd(q3, k3, v3, scale, block_q, block_k):
+    out, lse = _fwd(q3, k3, v3, scale, block_q, block_k)
+    return out, (q3, k3, v3, out, lse)
+
+
+_flash3.defvjp(_flash3_fwd, _bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """(B, Sq, H, D) × (B, Sk, H, D) → (B, Sq, H, D)."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if scale is None:
+        scale = d**-0.5
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    if sq % block_q or sk % block_k:
+        raise ValueError(
+            f"flash_attention needs seq divisible by blocks: "
+            f"sq={sq}%{block_q}, sk={sk}%{block_k}"
+        )
+
+    # mixed q/k/v dtypes break Mosaic's dot lowering — unify first
+    dt = jnp.result_type(q.dtype, k.dtype, v.dtype)
+    q, k, v = q.astype(dt), k.astype(dt), v.astype(dt)
+
+    def to3(x, s):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+    out3 = _flash3(
+        to3(q, sq), to3(k, sk), to3(v, sk), float(scale), block_q, block_k
+    )
+    return out3.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
