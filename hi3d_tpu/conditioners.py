@@ -110,7 +110,7 @@ class GeneralConditioner:
             if not isinstance(emb_out, (list, tuple)):
                 emb_out = [emb_out]
             for emb in emb_out:
-                out_key = self.OUT_KEY_BY_NDIM[emb.ndim]
+                out_key = AbstractEmbedder.OUT_KEY_BY_NDIM[emb.ndim]
                 if (
                     ucg_enabled
                     and embedder.ucg_rate > 0.0

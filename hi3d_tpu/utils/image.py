@@ -1,0 +1,98 @@
+"""Host-side image preprocessing for the inference CLIs.
+
+Functional parity targets:
+- resize-shorter-side + center-crop + BGR→RGB + [-1,1] normalization:
+  reference pipeline_i2v_eval_v01.py:134-146 (uses cv2 +
+  dataset/opencv_transforms center_crop/to_tensor).
+- RGBA → white-background compositing: pipeline_i2v_eval_v01.py:160-168.
+- background removal (rembg/U2Net): pipeline_i2v_eval_v01.py:153-156 —
+  optional here (the package is not bundled); when unavailable the input is
+  assumed to already have a clean/white background.
+- alpha-based foreground masks: pipeline_i2v_eval_v02.py:52-70 reimplemented
+  vectorized (the reference loops over pixels in Python).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def center_crop(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    th, tw = size
+    h, w = img.shape[:2]
+    i = int(round((h - th) / 2.0))
+    j = int(round((w - tw) / 2.0))
+    return img[i : i + th, j : j + tw]
+
+
+def load_image_rgb(path: str) -> np.ndarray:
+    """uint8 HWC RGB."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if img.shape[-1] == 4:
+        img = composite_white(img[..., [2, 1, 0, 3]])  # BGRA → RGBA → white bg
+        return img
+    return img[..., ::-1].copy()  # BGR → RGB
+
+
+def composite_white(rgba: np.ndarray) -> np.ndarray:
+    """RGBA uint8 → RGB uint8 on a white background."""
+    rgb = rgba[..., :3].astype(np.float32)
+    a = rgba[..., 3:4].astype(np.float32) / 255.0
+    out = rgb * a + 255.0 * (1.0 - a)
+    return out.round().astype(np.uint8)
+
+
+def resize_center_crop(img: np.ndarray, resolution: Tuple[int, int]) -> np.ndarray:
+    """Resize so the target fits, then center crop (reference :137-141)."""
+    import cv2
+
+    h, w = img.shape[:2]
+    rate = max(resolution[0] / h, resolution[1] / w)
+    img = cv2.resize(img, (math.ceil(w * rate), math.ceil(h * rate)))
+    return center_crop(img, resolution)
+
+
+def to_tensor_range(img: np.ndarray) -> np.ndarray:
+    """uint8 HWC → float32 HWC in [-1, 1]."""
+    return (img.astype(np.float32) / 255.0 - 0.5) * 2.0
+
+
+def remove_background(path: str, out_rgba: str, out_white: str) -> str:
+    """rembg U2Net background removal; graceful fallback when unavailable.
+
+    Returns the path of the white-background image to feed the pipeline.
+    """
+    try:
+        import rembg
+        from PIL import Image
+
+        session = rembg.new_session()
+        image = Image.open(path)
+        image = rembg.remove(image, session=session)
+        image.save(out_rgba)
+        white = Image.new("RGB", image.size, "WHITE")
+        white.paste(image, mask=image.split()[3])
+        white.save(out_white)
+        return out_white
+    except ImportError:
+        return path
+
+
+def foreground_mask_from_white(
+    img: np.ndarray, threshold: int = 250
+) -> np.ndarray:
+    """Boolean foreground mask: pixels that are not near-white.
+
+    Vectorized reimplementation of the reference's per-pixel loop
+    (pipeline_i2v_eval_v02.py:52-70).
+    """
+    return np.any(img.astype(np.int32) < threshold, axis=-1)

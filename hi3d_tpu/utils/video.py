@@ -1,0 +1,105 @@
+"""Video I/O: tensor→frames and mp4/gif export.
+
+Functional parity: reference vtdm/util.py:13-51 (`tensor2vid`,
+`export_to_video`) — denormalize with ImageNet-style mean/std (0.5, 0.5),
+clamp, uint8 frames; export via imageio (mp4, yuv420p, configurable fps, pads
+the frame list so its length is a multiple of fps) or cv2, optional gif.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def tensor2vid(
+    video: np.ndarray,
+    mean: Sequence[float] = (0.5, 0.5, 0.5),
+    std: Sequence[float] = (0.5, 0.5, 0.5),
+) -> List[np.ndarray]:
+    """(B, T, H, W, C) or (T, H, W, C) in [-1,1] → list of HWC uint8 frames."""
+    video = np.asarray(video, dtype=np.float32)
+    if video.ndim == 5:
+        video = video[0]
+    video = video * np.asarray(std, np.float32) + np.asarray(mean, np.float32)
+    video = np.clip(video, 0.0, 1.0)
+    return [(f * 255.0).round().astype(np.uint8) for f in video]
+
+
+def export_to_video(
+    frames: List[np.ndarray],
+    output_path: str,
+    fps: int = 8,
+    save_to_gif: bool = False,
+    use_cv2: bool = False,
+    quality: int = 9,
+) -> str:
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    if save_to_gif:
+        import imageio
+
+        gif_path = os.path.splitext(output_path)[0] + ".gif"
+        imageio.mimsave(gif_path, frames, format="GIF", duration=1.0 / fps)
+        return gif_path
+
+    # pad so the clip length is a whole number of seconds (reference
+    # vtdm/util.py:44-47 pads to a multiple of fps)
+    if len(frames) % fps != 0:
+        frames = list(frames) + [frames[-1]] * (fps - len(frames) % fps)
+
+    if not use_cv2:
+        # imageio's ffmpeg backend gives better-compressed yuv420p output but
+        # isn't always installed; cv2 is the reliable fallback
+        try:
+            import imageio
+
+            with imageio.get_writer(
+                output_path, fps=fps, quality=quality, pixelformat="yuv420p"
+            ) as writer:
+                for f in frames:
+                    writer.append_data(f)
+            return output_path
+        except (ImportError, ValueError):
+            pass
+
+    import cv2
+
+    h, w = frames[0].shape[:2]
+    writer = cv2.VideoWriter(
+        output_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    for f in frames:
+        writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    writer.release()
+    return output_path
+
+
+def import_video(path: str, max_frames: Optional[int] = None) -> List[np.ndarray]:
+    """Read an mp4 into a list of HWC uint8 RGB frames."""
+    try:
+        import imageio
+
+        reader = imageio.get_reader(path)
+        frames = []
+        for i, f in enumerate(reader):
+            if max_frames is not None and i >= max_frames:
+                break
+            frames.append(np.asarray(f)[..., :3])
+        reader.close()
+        return frames
+    except (ImportError, ValueError):
+        pass
+
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while max_frames is None or len(frames) < max_frames:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+    cap.release()
+    return frames

@@ -1,0 +1,159 @@
+"""End-to-end stage-1 pipeline smoke at toy size (BASELINE config 1 analog):
+image file → preprocess → conditioner → scan-sampler with CFG → VAE decode →
+mp4. Random weights; validates wiring, shapes, dtypes, and file outputs."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hi3d_tpu.conditioners import AbstractEmbedder
+from hi3d_tpu.pipelines.i2v import generate_orbit, run_pipeline
+
+T, RES = 4, 64
+CTX = 32
+
+
+class TinyImageEmbedder(AbstractEmbedder):
+    """Test-only crossattn stand-in for the CLIP tower."""
+
+    def __call__(self, image, rng=None):
+        feats = jnp.mean(image, axis=(1, 2))  # (B, 3)
+        return jnp.tile(feats, (1, CTX // 3 + 1))[:, :CTX][:, None, :]
+
+
+# 4 levels → f=8 like the real SD VAE (the pipeline computes latents at H/8)
+VAE_DD = {
+    "double_z": True, "z_channels": 4, "in_channels": 3, "out_ch": 3,
+    "ch": 8, "ch_mult": [1, 1, 2, 2], "num_res_blocks": 1,
+    "attn_resolutions": [], "resolution": RES,
+}
+
+
+def tiny_config(num_steps=3):
+    return {
+        "target": "vtdm.vtdm_gen_v01.VideoLDM",
+        "params": {
+            "input_key": "video",
+            "num_samples": T,
+            "scale_factor": 0.18215,
+            "en_and_decode_n_samples_a_time": 2,
+            "network_config": {
+                "target": "sgm.modules.diffusionmodules.video_model.VideoUNet",
+                "params": {
+                    "in_channels": 8, "out_channels": 4, "model_channels": 32,
+                    "num_res_blocks": 1, "channel_mult": [1, 2],
+                    "attention_resolutions": [1, 2], "num_head_channels": 16,
+                    "transformer_depth": 1, "context_dim": CTX,
+                    "num_classes": "sequential", "adm_in_channels": 32,
+                    "use_linear_in_transformer": True,
+                    "extra_ff_mix_layer": True, "use_spatial_context": True,
+                    "merge_strategy": "learned_with_images",
+                    "video_kernel_size": [3, 1, 1],
+                },
+            },
+            "denoiser_config": {
+                "target": "sgm.modules.diffusionmodules.denoiser.Denoiser",
+                "params": {"scaling_config": {
+                    "target": "sgm.modules.diffusionmodules.denoiser_scaling.VScalingWithEDMcNoise"
+                }},
+            },
+            "sampler_config": {
+                "target": "sgm.modules.diffusionmodules.sampling.EulerEDMSampler",
+                "params": {
+                    "num_steps": num_steps,
+                    "discretization_config": {
+                        "target": "sgm.modules.diffusionmodules.discretizer.EDMDiscretization",
+                        "params": {"sigma_max": 700.0},
+                    },
+                    "guider_config": {
+                        "target": "sgm.modules.diffusionmodules.guiders.LinearPredictionGuider",
+                        "params": {"num_frames": T, "max_scale": 2.5},
+                    },
+                },
+            },
+            "conditioner_config": {
+                "target": "sgm.modules.GeneralConditioner",
+                "params": {"emb_models": [
+                    {"target": "test_pipeline_i2v.TinyImageEmbedder",
+                     "input_key": "cond_frames_without_noise",
+                     "is_trainable": False},
+                    {"target": "sgm.modules.encoders.modules.ConcatTimestepEmbedderND",
+                     "input_key": "elevation", "is_trainable": False,
+                     "params": {"outdim": 16}},
+                    {"target": "sgm.modules.encoders.modules.VideoPredictionEmbedderWithEncoder",
+                     "input_key": "cond_frames", "is_trainable": False,
+                     "params": {
+                         "n_cond_frames": 1, "n_copies": T, "is_ae": True,
+                         "encoder_config": {
+                             "target": "sgm.models.autoencoder.AutoencoderKLModeOnly",
+                             "params": {"embed_dim": 4, "ddconfig": VAE_DD},
+                         },
+                     }},
+                    {"target": "sgm.modules.encoders.modules.ConcatTimestepEmbedderND",
+                     "input_key": "cond_aug", "is_trainable": False,
+                     "params": {"outdim": 16}},
+                ]},
+            },
+            "first_stage_config": {
+                "target": "sgm.models.autoencoder.AutoencoderKL",
+                "params": {"embed_dim": 4, "ddconfig": VAE_DD},
+            },
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def model():
+    from hi3d_tpu.config import instantiate_from_config
+
+    m = instantiate_from_config(tiny_config())
+    m.init(latent_hw=(RES // 8, RES // 8), num_frames=2)
+    return m
+
+
+def test_generate_orbit_shapes(model):
+    frames = np.zeros((T, RES, RES, 3), np.float32)
+    out = generate_orbit(model, frames, elevation=10.0,
+                         rng=jax.random.PRNGKey(0))
+    assert out.shape == (T, RES, RES, 3)
+    assert out.dtype == np.float32
+    assert np.all(np.isfinite(out))
+    assert float(np.abs(out).max()) <= 1.0
+
+
+def test_run_pipeline_writes_mp4(model, tmp_path):
+    import cv2
+
+    img = (np.random.RandomState(0).rand(96, 80, 3) * 255).astype(np.uint8)
+    src = str(tmp_path / "input.png")
+    cv2.imwrite(src, img)
+
+    out = run_pipeline(
+        model, src, str(tmp_path / "out"), elevation=0.0, clip_size=T,
+        resolution=(RES, RES), num_iter=1, seed=3, skip_rembg=True,
+    )
+    assert os.path.exists(out)
+    from hi3d_tpu.utils.video import import_video
+
+    vid = import_video(out)
+    assert len(vid) >= T
+    assert vid[0].shape == (RES, RES, 3)
+
+
+def test_autoregressive_num_iter(model, tmp_path):
+    import cv2
+
+    img = (np.random.RandomState(1).rand(64, 64, 3) * 255).astype(np.uint8)
+    src = str(tmp_path / "in.png")
+    cv2.imwrite(src, img)
+    out = run_pipeline(
+        model, src, str(tmp_path / "out2"), clip_size=T,
+        resolution=(RES, RES), num_iter=2, seed=5, skip_rembg=True,
+    )
+    from hi3d_tpu.utils.video import import_video
+
+    # 2 orbits share the boundary frame: T + (T-1), padded to a multiple of fps
+    assert len(import_video(out)) >= 2 * T - 1
