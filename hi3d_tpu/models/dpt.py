@@ -1,0 +1,362 @@
+"""DPT-hybrid (MiDaS) monocular depth in flax, NHWC.
+
+Functional parity targets (reference file:line):
+- DPTDepthModel / DPT: annotator/midas/dpt_depth.py:21-107 — ViT-hybrid
+  backbone (timm `vit_base_resnet50_384`), 4 reassembled feature maps,
+  RefineNet-style fusion, depth head; hooks [0, 1, 8, 11] where 0/1 tap the
+  ResNet stages and 8/11 tap transformer blocks
+  (annotator/midas/vit.py:357-384).
+- backbone: timm ResNetV2 stem+3 stages with weight-standardized convs and
+  GroupNorm(32)+ReLU pre-activation bottlenecks; ViT-B/16 (768 wide, 12
+  blocks) on the /16 feature map with a resizable position embedding
+  (annotator/midas/vit.py:104-162 `_resize_pos_embed`, `forward_flex`).
+- readout 'project': concat(cls, tokens) → Linear(1536→768) → GELU
+  (annotator/midas/vit.py:171-186).
+- reassemble: 1×1 projections; layer-4 extra 3×3 stride-2 conv → /32
+  (annotator/midas/vit.py:447-478); scratch 3×3 no-bias convs to 256
+  (annotator/midas/blocks.py:64-106).
+- fusion: ResidualConvUnit_custom ×2 + ×2 bilinear align_corners upsample +
+  1×1 out conv (annotator/midas/blocks.py:261-388).
+- head: 3×3 →128, ×2 up, 3×3 →32, ReLU, 1×1 →1, ReLU
+  (annotator/midas/dpt_depth.py:85-99).
+
+Input: (B, H, W, 3) in [-1, 1] (MiDaSInference applies no extra
+normalization — annotator/midas/api.py:167-170); H, W multiples of 32.
+Output: (B, H, W) non-negative inverse depth.
+
+TPU notes: align_corners=True bilinear resizes are expressed as two dense
+interpolation-matrix matmuls (MXU-friendly, exact); weight standardization
+runs in fp32 at trace time and folds into the conv weights.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = Any
+
+
+# --------------------------------------------------------------------------
+# resize helpers
+# --------------------------------------------------------------------------
+
+
+def _align_corners_matrix(n_out: int, n_in: int, dtype=jnp.float32) -> jax.Array:
+    """(n_out, n_in) bilinear interpolation matrix with align_corners=True."""
+    if n_in == 1:
+        return jnp.ones((n_out, 1), dtype)
+    pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / max(n_out - 1, 1)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+    frac = pos - lo.astype(jnp.float32)
+    rows = jnp.arange(n_out)
+    m = jnp.zeros((n_out, n_in), jnp.float32)
+    m = m.at[rows, lo].add(1.0 - frac)
+    m = m.at[rows, lo + 1].add(frac)
+    return m.astype(dtype)
+
+
+def resize_bilinear_align_corners(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """NHWC bilinear resize matching torch interpolate(align_corners=True)."""
+    b, h, w, c = x.shape
+    th, tw = size
+    mh = _align_corners_matrix(th, h)
+    mw = _align_corners_matrix(tw, w)
+    y = jnp.einsum("oh,bhwc->bowc", mh, x.astype(jnp.float32))
+    y = jnp.einsum("ow,bhwc->bhoc", mw, y)
+    return y.astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# ResNetV2 backbone (weight-standardized convs, pre-act GN bottlenecks)
+# --------------------------------------------------------------------------
+
+
+class StdConv(nn.Module):
+    """Conv with weight standardization (timm StdConv2d, eps 1e-6)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, in_ch, self.features),
+        )
+        k32 = kernel.astype(jnp.float32)
+        mean = jnp.mean(k32, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(k32, axis=(0, 1, 2), keepdims=True)
+        k = ((k32 - mean) / jnp.sqrt(var + 1e-6)).astype(self.dtype)
+        pad = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k, self.strides, pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            y = y + self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            ).astype(y.dtype)
+        return y
+
+
+class GroupNormRelu(nn.Module):
+    """timm GroupNormAct: GroupNorm(32, eps 1e-5) + ReLU, fp32."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return nn.relu(y).astype(x.dtype)
+
+
+class PreActBottleneck(nn.Module):
+    """timm ResNetV2 PreActBottleneck: GN-ReLU → 1×1 → GN-ReLU → 3×3(s) →
+    GN-ReLU → 1×1, with a 1×1 shortcut conv on the pre-activated input when
+    shape changes."""
+
+    out_channels: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        mid = self.out_channels // 4
+        preact = GroupNormRelu(name="norm1")(x)
+        if x.shape[-1] != self.out_channels or self.stride != 1:
+            shortcut = StdConv(
+                self.out_channels, (1, 1), (self.stride, self.stride),
+                dtype=self.dtype, name="downsample_conv",
+            )(preact)
+        else:
+            shortcut = x
+        h = StdConv(mid, (1, 1), dtype=self.dtype, name="conv1")(preact)
+        h = GroupNormRelu(name="norm2")(h)
+        h = StdConv(
+            mid, (3, 3), (self.stride, self.stride), dtype=self.dtype,
+            name="conv2",
+        )(h)
+        h = GroupNormRelu(name="norm3")(h)
+        h = StdConv(self.out_channels, (1, 1), dtype=self.dtype, name="conv3")(h)
+        return h + shortcut
+
+
+class HybridBackbone(nn.Module):
+    """ResNetV2 stem + stages (3, 4, 9) à la timm vit_base_r50_s16_384.
+
+    Returns (stage0 @ /4 · 256ch, stage1 @ /8 · 512ch, final @ /16 · 1024ch
+    after the trailing GroupNorm-ReLU)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        h = StdConv(64, (7, 7), (2, 2), dtype=self.dtype, name="stem_conv")(x)
+        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        h = nn.max_pool(h, (3, 3), (2, 2))
+        feats = []
+        for s, (blocks, ch, stride) in enumerate(
+            [(3, 256, 1), (4, 512, 2), (9, 1024, 2)]
+        ):
+            for b in range(blocks):
+                h = PreActBottleneck(
+                    out_channels=ch,
+                    stride=stride if b == 0 else 1,
+                    dtype=self.dtype,
+                    name=f"stage{s}_block{b}",
+                )(h)
+            feats.append(h)
+        h = GroupNormRelu(name="norm")(h)
+        return feats[0], feats[1], h
+
+
+# --------------------------------------------------------------------------
+# ViT encoder with resizable position embedding
+# --------------------------------------------------------------------------
+
+
+class ViTBlock(nn.Module):
+    width: int = 768
+    heads: int = 12
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        b, s, c = h.shape
+        qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="attn_qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        d = self.width // self.heads
+        q = q.reshape(b, s, self.heads, d)
+        k = k.reshape(b, s, self.heads, d)
+        v = v.reshape(b, s, self.heads, d)
+        from ..ops.attention import dot_product_attention
+
+        att = dot_product_attention(q, k, v).reshape(b, s, c)
+        x = x + nn.Dense(self.width, dtype=self.dtype, name="attn_proj")(att)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        h = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.width, dtype=self.dtype, name="mlp_fc2")(h)
+        return x + h
+
+
+# --------------------------------------------------------------------------
+# DPT
+# --------------------------------------------------------------------------
+
+
+class ResidualConvUnit(nn.Module):
+    """blocks.py:261-323 (no BN variant)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.relu(x)
+        h = nn.Conv(
+            self.features, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+            name="conv1",
+        )(h)
+        h = nn.relu(h)
+        h = nn.Conv(
+            self.features, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+            name="conv2",
+        )(h)
+        return h + x
+
+
+class FeatureFusionBlock(nn.Module):
+    """blocks.py:328-388: optional skip-add via RCU1, RCU2, ×2 align-corners
+    upsample, 1×1 out conv."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip: Optional[jax.Array] = None) -> jax.Array:
+        if skip is not None:
+            x = x + ResidualConvUnit(
+                self.features, dtype=self.dtype, name="res_conv_unit1"
+            )(skip)
+        x = ResidualConvUnit(
+            self.features, dtype=self.dtype, name="res_conv_unit2"
+        )(x)
+        b, h, w, c = x.shape
+        x = resize_bilinear_align_corners(x, (2 * h, 2 * w))
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")(x)
+
+
+class DPTDepthModel(nn.Module):
+    """(B, H, W, 3) in [-1, 1] → (B, H, W) inverse depth (non-negative)."""
+
+    features: int = 256
+    vit_width: int = 768
+    vit_layers: int = 12
+    vit_heads: int = 12
+    hooks: Sequence[int] = (8, 11)  # transformer taps (vit.py hooks[2:])
+    pos_grid: int = 24  # pretrained 384/16 position-embedding grid
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, hh, ww, _ = x.shape
+        gh, gw = hh // 16, ww // 16
+        w768 = self.vit_width
+
+        layer1, layer2, feat = HybridBackbone(dtype=self.dtype, name="backbone")(x)
+
+        # patch embedding: 1×1 projection of the /16 backbone features
+        tok = nn.Conv(w768, (1, 1), dtype=self.dtype, name="patch_proj")(feat)
+        tok = tok.reshape(b, gh * gw, w768)
+
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, w768)
+        ).astype(tok.dtype)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, 1 + self.pos_grid * self.pos_grid, w768),
+        )
+        # bilinear-resized position embedding (vit.py:104-122)
+        pos_cls, pos_grid_ = pos[:, :1], pos[:, 1:]
+        pos_grid_ = pos_grid_.reshape(1, self.pos_grid, self.pos_grid, w768)
+        pos_grid_ = jax.image.resize(
+            pos_grid_.astype(jnp.float32), (1, gh, gw, w768), "bilinear"
+        )
+        pos_resized = jnp.concatenate(
+            [pos_cls.astype(jnp.float32), pos_grid_.reshape(1, gh * gw, w768)],
+            axis=1,
+        ).astype(tok.dtype)
+
+        t = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, w768)), tok], axis=1)
+        t = t + pos_resized
+
+        taps = {}
+        for i in range(self.vit_layers):
+            t = ViTBlock(
+                width=w768, heads=self.vit_heads, dtype=self.dtype,
+                name=f"block{i}",
+            )(t)
+            if i in self.hooks:
+                taps[i] = t
+        # (final ViT norm feeds the classifier only — DPT taps are pre-norm,
+        # vit.py:59-101 reads the hook activations before model.norm)
+
+        def readout(tokens: jax.Array, name: str) -> jax.Array:
+            """'project' readout: cat(tokens, cls) → Linear → GELU → map."""
+            cls_t = tokens[:, :1]
+            grid_t = tokens[:, 1:]
+            merged = jnp.concatenate(
+                [grid_t, jnp.broadcast_to(cls_t, grid_t.shape)], axis=-1
+            )
+            proj = nn.Dense(w768, dtype=self.dtype, name=f"{name}_readout")(merged)
+            proj = nn.gelu(proj, approximate=False)
+            return proj.reshape(b, gh, gw, w768)
+
+        layer3 = readout(taps[self.hooks[0]], "post3")
+        layer3 = nn.Conv(w768, (1, 1), dtype=self.dtype, name="post3_proj")(layer3)
+        layer4 = readout(taps[self.hooks[1]], "post4")
+        layer4 = nn.Conv(w768, (1, 1), dtype=self.dtype, name="post4_proj")(layer4)
+        layer4 = nn.Conv(
+            w768, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+            dtype=self.dtype, name="post4_down",
+        )(layer4)
+
+        f = self.features
+        rn1 = nn.Conv(f, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                      dtype=self.dtype, name="layer1_rn")(layer1)
+        rn2 = nn.Conv(f, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                      dtype=self.dtype, name="layer2_rn")(layer2)
+        rn3 = nn.Conv(f, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                      dtype=self.dtype, name="layer3_rn")(layer3)
+        rn4 = nn.Conv(f, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                      dtype=self.dtype, name="layer4_rn")(layer4)
+
+        path4 = FeatureFusionBlock(f, dtype=self.dtype, name="refinenet4")(rn4)
+        path3 = FeatureFusionBlock(f, dtype=self.dtype, name="refinenet3")(path4, rn3)
+        path2 = FeatureFusionBlock(f, dtype=self.dtype, name="refinenet2")(path3, rn2)
+        path1 = FeatureFusionBlock(f, dtype=self.dtype, name="refinenet1")(path2, rn1)
+
+        h = nn.Conv(f // 2, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                    name="head_conv1")(path1)
+        bh_, hh_, ww_, _ = h.shape
+        h = resize_bilinear_align_corners(h, (2 * hh_, 2 * ww_))
+        h = nn.Conv(32, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                    name="head_conv2")(h)
+        h = nn.relu(h)
+        h = nn.Conv(1, (1, 1), dtype=self.dtype, name="head_conv3")(h)
+        h = nn.relu(h)
+        return h[..., 0]
