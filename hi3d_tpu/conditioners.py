@@ -319,6 +319,7 @@ class DepthEmbedder(AbstractEmbedder):
         shuffle_size: int = 3,
         scale_factor: float = 2.6666,
         dtype=jnp.float32,
+        model_kwargs: Optional[Dict] = None,  # tower overrides (tests)
     ):
         from .models.dpt import DPTDepthModel
 
@@ -326,7 +327,7 @@ class DepthEmbedder(AbstractEmbedder):
             raise NotImplementedError("use_3d depth not used by Hi3D")
         self.shuffle_size = int(shuffle_size)
         self.scale_factor = float(scale_factor)
-        self.model = DPTDepthModel(dtype=dtype)
+        self.model = DPTDepthModel(dtype=dtype, **(model_kwargs or {}))
         self.params = None
 
     def init_params(self, rng):

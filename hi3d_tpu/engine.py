@@ -324,21 +324,37 @@ class VideoLDMStage2(VideoLDM):
         n = video.shape[0]
         batch["cond_frames_without_noise"] = video[:, 0]
 
+        rng = default(rng, self.next_rng())
+        r_deg, r_aug, r_noise = jax.random.split(rng, 3)
         if not infer:
             if self.degradation is None:
                 from .data.degradation import DegradedImages
 
                 self.degradation = DegradedImages()
-            rng = default(rng, self.next_rng())
             cond_video = self.degradation(
-                video, batch.get("masks"), batch.get("kernels"), rng=rng
+                video,
+                batch.get("masks"),
+                kernel1s=batch.get("kernel1s"),
+                kernel2s=batch.get("kernel2s"),
+                sinc_kernels=batch.get("sinc_kernels"),
+                rng=r_deg,
+            )
+            cond_aug = jnp.exp(
+                -3.0 + 0.5 * jax.random.normal(r_aug, (n,), dtype=jnp.float32)
             )
         else:
             cond_video = video
+            cond_aug = jnp.full((n,), 0.02, dtype=jnp.float32)
         # flatten to frames for the conditioner's per-frame embedders
-        batch["cond_frames"] = cond_video.reshape(-1, *cond_video.shape[2:])
-
-        batch["cond_aug"] = jnp.full((n,), 0.02, dtype=jnp.float32)
+        cond_frames = cond_video.reshape(-1, *cond_video.shape[2:])
+        # noise augmentation applies at BOTH train and inference
+        # (reference vtdm_gen_stage2_degradeImage.py:76-81)
+        aug = jnp.repeat(cond_aug, self.num_samples, axis=0)
+        noise = jax.random.normal(r_noise, cond_frames.shape, cond_frames.dtype)
+        batch["cond_frames"] = cond_frames + append_dims(
+            aug, cond_frames.ndim
+        ).astype(cond_frames.dtype) * noise
+        batch["cond_aug"] = cond_aug
         if "image_only_indicator" not in batch:
             batch["image_only_indicator"] = jnp.zeros((n, self.num_samples))
         return batch

@@ -1,0 +1,197 @@
+"""Stage-2 inference: stage-1 video + original image → 16×1024² refined video.
+
+Functional parity: reference pipeline_i2v_eval_v02.py —
+1. read first_step/first.mp4, keep the last `clip_size` frames, replace frame
+   0 with the clean white-bg image, resize to 1024² (:165-197),
+2. per-frame foreground masks from near-white background (:52-70),
+3. per-frame VAE encode of the input video → z_t (:96-101),
+4. the latent-blending sampling loop (:127-135): at step i,
+   α = (0.5·(1+cos(i/num_steps)))^40, each latent is pulled toward
+   (init_noise·σ_i + z_t) by α, then advanced by ONE externally-driven
+   sampler step (`step_call`),
+5. frame-chunked VAE decode at 1024² + mp4 export (:137-141, :199-207).
+
+TPU-native: the whole blend+step loop runs as a single `lax.scan` over the
+step index (the sampler's `step_call` takes a traced index), so the 25-step
+refinement is one compiled program; conditioning (CLIP/DPT/VAE towers) is
+computed once up front.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.image import (
+    foreground_mask_from_white,
+    load_image_rgb,
+    to_tensor_range,
+)
+from ..utils.video import export_to_video, import_video, tensor2vid
+from .common import create_model
+from .i2v import UC_ZERO_KEYS
+
+ALPHA_POW = 40.0
+
+
+def blend_refine(
+    model,
+    frames: np.ndarray,
+    masks: Optional[np.ndarray] = None,
+    elevation: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> np.ndarray:
+    """frames (T, H, W, 3) in [-1,1] → refined (T, H, W, 3) in [-1,1]."""
+    t = model.num_samples
+    assert frames.shape[0] == t, (frames.shape, t)
+    h, w = frames.shape[1:3]
+    if rng is None:
+        rng = model.next_rng()
+    r_custom, r_init = jax.random.split(rng)
+
+    sampler = model.sampler
+    num_steps = sampler.num_steps
+    sigmas = sampler.discretization(num_steps)  # (num_steps+1,) fp32
+    num_sigmas = int(sigmas.shape[0])
+
+    batch: Dict = {"video": jnp.asarray(frames)[None],
+                   "elevation": jnp.asarray([elevation], jnp.float32)}
+    if masks is not None:
+        batch["masks"] = jnp.asarray(masks)[None]
+    batch = model.add_custom_cond(batch, infer=True, rng=r_custom)
+
+    c, uc = model.conditioner.get_unconditional_conditioning(
+        batch, force_uc_zero_embeddings=list(UC_ZERO_KEYS)
+    )
+
+    # per-frame latents of the conditioning video (fp32 VAE)
+    z = model.encode_first_stage(jnp.asarray(frames))  # (T, h/8, w/8, 4)
+    z = z.astype(jnp.float32)
+
+    init_noise = jax.random.normal(r_init, z.shape, jnp.float32)
+    latents = init_noise * jnp.sqrt(1.0 + sigmas[0] ** 2.0)
+
+    indicator = jnp.zeros((2, t))
+    denoiser_fn = model.make_denoiser_fn(
+        num_video_frames=t, image_only_indicator=indicator
+    )
+    s_in = jnp.ones((t,), jnp.float32)
+    dtype = model.compute_dtype
+
+    def body(carry, i):
+        lat = carry
+        alpha = (0.5 * (1.0 + jnp.cos(i / num_steps))) ** ALPHA_POW
+        source = init_noise * sigmas[i] + z
+        lat = lat * (1.0 - alpha) + source * alpha
+        lat = sampler.step_call(
+            denoiser_fn, lat.astype(dtype), i, s_in, sigmas, num_sigmas, c, uc
+        ).astype(jnp.float32)
+        return lat, None
+
+    latents, _ = jax.lax.scan(body, latents, jnp.arange(num_sigmas - 1))
+    decoded = model.decode_first_stage(latents.astype(dtype))
+    return np.asarray(jnp.clip(decoded, -1.0, 1.0), dtype=np.float32)
+
+
+def prepare_inputs(
+    image_path: str,
+    video_path: str,
+    clip_size: int,
+    resolution: Tuple[int, int],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Last clip_size video frames, frame 0 ← clean image; (frames, masks)."""
+    import cv2
+
+    raw = import_video(video_path)
+    frames = list(raw[-clip_size:])
+    frames[0] = load_image_rgb(image_path)
+    frames = [cv2.resize(f, (resolution[1], resolution[0])) for f in frames]
+    masks = np.stack([foreground_mask_from_white(f) for f in frames])
+    frames = np.stack([to_tensor_range(f) for f in frames])
+    return frames, masks
+
+
+def run_pipeline(
+    model,
+    image_path: str,
+    video_path: str,
+    output_dir: str,
+    elevation: float = 0.0,
+    clip_size: int = 16,
+    resolution: Sequence[int] = (1024, 1024),
+    num_iter: int = 1,
+    seed: Optional[int] = None,
+    fps: int = 8,
+) -> str:
+    if seed is not None:
+        model._rng = jax.random.PRNGKey(seed)
+    model.num_samples = clip_size
+    frames, masks = prepare_inputs(
+        image_path, video_path, clip_size, tuple(resolution)
+    )
+
+    out_frames: List[np.ndarray] = []
+    for _ in range(num_iter):
+        video = blend_refine(model, frames, masks, elevation=elevation)
+        new = tensor2vid(video)
+        out_frames.extend(new if not out_frames else new[1:])
+        frames = frames.copy()
+        frames[0] = to_tensor_range(out_frames[-1])
+
+    out_path = os.path.join(output_dir, "second_step_video", "second.mp4")
+    return export_to_video(out_frames, out_path, fps=fps)
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    p = argparse.ArgumentParser(description="Hi3D stage 2: video refinement")
+    p.add_argument("--denoise_config", default="configs/inference-v02.yaml")
+    p.add_argument("--denoise_checkpoint", default="ckpts/second_stage.pt")
+    p.add_argument("--image_path", required=True,
+                   help="clean (white-bg) conditioning image")
+    p.add_argument("--video_path", default=None,
+                   help="stage-1 video; default <output_dir>/first_step/first.mp4")
+    p.add_argument("--output_dir", default="outputs/i2v")
+    p.add_argument("--elevation", type=float, default=0)
+    p.add_argument("--clip_size", type=int, default=16)
+    p.add_argument("--resolution", type=int, nargs=2, default=[1024, 1024])
+    p.add_argument("--num_iter", type=int, default=1)
+    p.add_argument("--seed", type=int, default=None)
+    args = p.parse_args(argv)
+
+    video_path = args.video_path or os.path.join(
+        args.output_dir, "first_step", "first.mp4"
+    )
+    model, _ = create_model(args.denoise_config)
+    t0 = time.time()
+    model.init(latent_hw=(args.resolution[0] // 8, args.resolution[1] // 8),
+               num_frames=2)
+    if args.denoise_checkpoint and os.path.exists(args.denoise_checkpoint):
+        model.init_from_ckpt(args.denoise_checkpoint)
+    else:
+        print(f"[v2v] checkpoint {args.denoise_checkpoint!r} not found — "
+              "running with random weights (smoke mode)")
+    print(f"[v2v] model ready in {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    out = run_pipeline(
+        model,
+        args.image_path,
+        video_path,
+        args.output_dir,
+        elevation=args.elevation,
+        clip_size=args.clip_size,
+        resolution=args.resolution,
+        num_iter=args.num_iter,
+        seed=args.seed,
+    )
+    print(f"[v2v] wrote {out} in {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

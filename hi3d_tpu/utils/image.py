@@ -88,11 +88,13 @@ def remove_background(path: str, out_rgba: str, out_white: str) -> str:
 
 
 def foreground_mask_from_white(
-    img: np.ndarray, threshold: int = 250
+    img: np.ndarray, threshold: int = 220
 ) -> np.ndarray:
-    """Boolean foreground mask: pixels that are not near-white.
+    """Float foreground mask: 0 where all channels exceed the threshold
+    (near-white background), 1 elsewhere.
 
-    Vectorized reimplementation of the reference's per-pixel loop
-    (pipeline_i2v_eval_v02.py:52-70).
+    Vectorized reimplementation of the reference's per-pixel Python loop
+    (pipeline_i2v_eval_v02.py:52-70, threshold 220).
     """
-    return np.any(img.astype(np.int32) < threshold, axis=-1)
+    bg = np.all(img.astype(np.int32) > threshold, axis=-1)
+    return (~bg).astype(np.float32)
