@@ -35,7 +35,13 @@ def _deep_merge(base: Dict[str, Any], overlay: Mapping[str, Any]) -> Dict[str, A
 
 
 def load_config(paths: Union[str, Iterable[str]]) -> Dict[str, Any]:
-    """Load YAML config file(s); later files override earlier ones."""
+    """Load YAML config file(s); later files override earlier ones.
+
+    A top-level ``include: [other.yaml, ...]`` key pulls in base files
+    (paths relative to the including file) before the file's own content.
+    """
+    import os
+
     if isinstance(paths, str):
         paths = [paths]
     merged: Dict[str, Any] = {}
@@ -44,6 +50,11 @@ def load_config(paths: Union[str, Iterable[str]]) -> Dict[str, Any]:
             cfg = yaml.safe_load(f) or {}
         if not isinstance(cfg, dict):
             raise TypeError(f"top-level YAML in {p} must be a mapping, got {type(cfg)}")
+        for inc in cfg.pop("include", []) or []:
+            inc_path = inc if os.path.isabs(inc) else os.path.join(
+                os.path.dirname(os.path.abspath(p)), inc
+            )
+            _deep_merge(merged, load_config(inc_path))
         _deep_merge(merged, cfg)
     return merged
 

@@ -287,23 +287,84 @@ class VideoLDM(DiffusionEngine):
     def shared_step(self, batch: Dict, rng: Optional[jax.Array] = None):
         """Training objective on one batch; returns (loss_scalar, loss_dict)."""
         rng = default(rng, self.next_rng())
-        r_cond, r_custom, r_loss = jax.random.split(rng, 3)
+        r_custom, r_step = jax.random.split(rng)
         batch = self.add_custom_cond(batch, infer=False, rng=r_custom)
+        loss_mean = self.make_loss_fn()(self.params, batch, r_step)
+        return loss_mean, {"loss": loss_mean}
 
-        video = batch[self.input_key]  # (B, T, H, W, C)
+    def make_loss_fn(self):
+        """Pure jittable loss(params, batch, rng) for the pjit train step.
+
+        `batch` must already be through `add_custom_cond` (host side — the
+        stage-2 degradation runs on CPU) and contain only arrays. VAE encode,
+        conditioner (with ucg dropout), and the denoiser loss all trace into
+        ONE XLA program per step.
+        """
+
+        def loss_fn(params, batch: Dict, rng: jax.Array) -> jax.Array:
+            r_cond, r_loss = jax.random.split(rng)
+            video = batch[self.input_key]  # (B, T, H, W, C)
+            b, t = video.shape[:2]
+            frames = video.reshape(b * t, *video.shape[2:])
+            x = self.encode_first_stage(frames)
+            cond = self.conditioner(batch, rng=r_cond)
+            network = self.wrapper.bind(
+                params,
+                num_video_frames=t,
+                image_only_indicator=batch["image_only_indicator"],
+            )
+            loss = self.loss_fn(network, self.denoiser, cond, x, batch, r_loss)
+            return jnp.mean(loss)
+
+        return loss_fn
+
+    def log_images(
+        self,
+        batch: Dict,
+        n: int = 1,
+        sample: bool = True,
+        params=None,
+        rng: Optional[jax.Array] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Periodic eval media (reference vtdm_gen_v01.py:90-165): VAE
+        reconstructions + a full sampling run (with EMA params when present).
+        Returns numpy videos (n, T, H, W, 3) in [-1, 1]."""
+        rng = default(rng, self.next_rng())
+        r_custom, r_sample = jax.random.split(rng)
+        batch = self.add_custom_cond(batch, infer=True, rng=r_custom)
+        video = jnp.asarray(batch[self.input_key])[:n]
         b, t = video.shape[:2]
         frames = video.reshape(b * t, *video.shape[2:])
-        x = self.encode_first_stage(frames)
 
-        cond = self.conditioner(batch, rng=r_cond)
-        network = self.bound_network(
-            num_video_frames=batch["num_video_frames"],
-            image_only_indicator=batch["image_only_indicator"],
+        log: Dict[str, np.ndarray] = {
+            "inputs": np.asarray(video, np.float32)
+        }
+        z = self.encode_first_stage(frames)
+        recon = self.decode_first_stage(z)
+        log["reconstructions"] = np.asarray(
+            recon.reshape(video.shape), np.float32
         )
-        extra = {}
-        loss = self.loss_fn(network, self.denoiser, cond, x, batch, r_loss)
-        loss_mean = jnp.mean(loss)
-        return loss_mean, {"loss": loss_mean}
+        if sample and self.sampler is not None and self.conditioner is not None:
+            c, uc = self.conditioner.get_unconditional_conditioning(
+                batch,
+                force_uc_zero_embeddings=[
+                    "cond_frames", "cond_frames_without_noise"
+                ],
+            )
+            use_params = default(
+                params, self.ema_params if self.ema_params is not None else self.params
+            )
+            samples = self.sample(
+                cond=c,
+                uc=uc,
+                shape=(b * t, *z.shape[1:3], z.shape[-1]),
+                num_video_frames=t,
+                rng=r_sample,
+                params=use_params,
+            )
+            dec = self.decode_first_stage(samples)
+            log["samples"] = np.asarray(dec.reshape(video.shape), np.float32)
+        return log
 
 
 class VideoLDMStage2(VideoLDM):

@@ -121,7 +121,12 @@ def make_train_step(
         """Compile with shardings inferred from this state/batch structure."""
         state_sh = shard_state_like(state)
         batch_sh = jax.tree.map(
-            lambda leaf: batch_sharding(mesh, jnp.ndim(leaf)), batch
+            lambda leaf: (
+                batch_sharding(mesh, jnp.ndim(leaf))
+                if jnp.ndim(leaf) >= 1
+                else replicated(mesh)
+            ),
+            batch,
         )
         return jax.jit(
             train_step,

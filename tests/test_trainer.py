@@ -1,0 +1,121 @@
+"""Trainer integration at toy size: fit a few steps on a CPU submesh,
+checkpoint, resume, metrics written. Uses the tiny stage-1 config + a
+synthetic Objaverse render folder."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hi3d_tpu.data.video_dataset import PrefetchLoader, VideoTrainDataset
+from hi3d_tpu.parallel.mesh import make_mesh
+from hi3d_tpu.training.trainer import Trainer
+from test_pipeline_i2v import T, RES, tiny_config
+
+
+@pytest.fixture(scope="module")
+def render_dir(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("renders")
+    rng = np.random.RandomState(0)
+    d = root / "obj"
+    d.mkdir()
+    for i in range(96):
+        rgba = rng.randint(0, 255, (RES, RES, 4), np.uint8)
+        rgba[..., 3] = 255
+        cv2.imwrite(str(d / f"{i:03d}.png"), rgba)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from hi3d_tpu.config import instantiate_from_config
+
+    cfg = tiny_config()
+    cfg["params"]["use_ema"] = True
+    cfg["params"]["loss_fn_config"] = {
+        "target": "sgm.modules.diffusionmodules.loss.StandardDiffusionLoss",
+        "params": {
+            "num_frames": T,
+            "batch2model_keys": [],
+            "sigma_sampler_config": {
+                "target": "sgm.modules.diffusionmodules.sigma_sampling.EDMSampling",
+                "params": {"p_mean": 1.0, "p_std": 1.6},
+            },
+            "loss_weighting_config": {
+                "target": "sgm.modules.diffusionmodules.loss_weighting.VWeighting"
+            },
+        },
+    }
+    m = instantiate_from_config(cfg)
+    m.base_learning_rate = 1e-4
+    m.init(latent_hw=(RES // 8, RES // 8), num_frames=2)
+    return m
+
+
+def test_fit_checkpoint_resume(engine, render_dir, tmp_path):
+    ds = VideoTrainDataset(render_dir, width=RES, height=RES, sample_frames=T)
+    loader = iter(PrefetchLoader(ds, batch_size=2, seed=0, num_workers=1))
+    mesh = make_mesh(data=2, devices=None)
+    logdir = str(tmp_path / "run")
+
+    trainer = Trainer(
+        engine, logdir=logdir, batch_size=2, mesh=mesh,
+        ckpt_every_n_steps=2, log_images_every=10**9, log_every=1, seed=0,
+    )
+    state = trainer.fit(loader, max_steps=3, resume=False)
+    assert int(state.step) == 3
+
+    metrics = [
+        json.loads(l)
+        for l in open(os.path.join(logdir, "metrics.jsonl"))
+    ]
+    assert len(metrics) == 3
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+    assert all(m["grad_norm"] > 0 for m in metrics)
+
+    # checkpoints exist (step 2 periodic + step 3 final)
+    assert trainer.checkpointer.latest_step() == 3
+
+    # resume into a fresh trainer continues from the saved step
+    trainer2 = Trainer(
+        engine, logdir=logdir, batch_size=2, mesh=mesh,
+        ckpt_every_n_steps=100, log_images_every=10**9, log_every=1, seed=0,
+    )
+    state2 = trainer2.fit(loader, max_steps=5, resume=True)
+    assert int(state2.step) == 5
+
+
+def test_selective_training_freezes_params(engine, render_dir, tmp_path):
+    """trained_param_keys restricts updates (reference vtdm_gen_v01.py:167-201)."""
+    import jax
+    from flax import traverse_util
+
+    ds = VideoTrainDataset(render_dir, width=RES, height=RES, sample_frames=T)
+    loader = iter(PrefetchLoader(ds, batch_size=2, seed=0, num_workers=1))
+    mesh = make_mesh(data=2, devices=None)
+
+    engine.trained_param_keys = [".time_stack."]
+    before = jax.tree.map(np.asarray, engine.params)
+    try:
+        trainer = Trainer(
+            engine, logdir=str(tmp_path / "sel"), batch_size=2, mesh=mesh,
+            ckpt_every_n_steps=10**9, log_images_every=10**9, seed=0,
+        )
+        state = trainer.fit(loader, max_steps=2, resume=False)
+    finally:
+        engine.trained_param_keys = ["all"]
+
+    flat_before = traverse_util.flatten_dict(before["params"], sep=".")
+    flat_after = traverse_util.flatten_dict(
+        jax.tree.map(np.asarray, state.params)["params"], sep="."
+    )
+    changed = {
+        k: not np.allclose(flat_before[k], flat_after[k])
+        for k in flat_before
+    }
+    assert any(v for k, v in changed.items() if "time_stack" in k)
+    assert not any(v for k, v in changed.items() if "time_stack" not in k)

@@ -1,0 +1,126 @@
+"""Training launcher — TPU-native replacement for reference train_ddp_spawn.py.
+
+Usage (reference CLI surface, train_ddp_spawn.py:155-164):
+    python train.py --base configs/train-v01.yaml --train True \
+        [--resume logs/<run>] [--logdir logs] [--seed 23] \
+        [--scale_lr True] [key.sub=value ...]
+
+Distributed: single-controller JAX. On multi-host TPU slices run the same
+command on every host (jax.distributed auto-initializes under TPU runtime);
+the mesh spans all chips, gradients ride ICI via XLA collectives, and the
+optimizer state is ZeRO-sharded along the data axis.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import glob
+import os
+import sys
+
+import numpy as np
+
+
+def str2bool(v: str) -> bool:
+    return str(v).lower() in ("yes", "true", "t", "1")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Hi3D-TPU trainer")
+    p.add_argument("--base", nargs="*", default=["configs/train-v01.yaml"],
+                   help="config yaml(s), merged left-to-right")
+    p.add_argument("--train", type=str2bool, default=True)
+    p.add_argument("--resume", type=str, default="",
+                   help="logdir or checkpoint dir to resume from")
+    p.add_argument("--logdir", type=str, default="logs")
+    p.add_argument("--name", type=str, default="")
+    p.add_argument("--seed", type=int, default=23)
+    p.add_argument("--scale_lr", type=str2bool, default=True)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--projectname", type=str, default="hi3d_tpu")
+    return p.parse_known_args(argv)
+
+
+def main(argv=None) -> None:
+    import jax
+
+    from hi3d_tpu.config import apply_dotlist, instantiate_from_config, load_config
+    from hi3d_tpu.training.trainer import Trainer
+
+    args, unknown = parse_args(argv)
+    overrides = [u for u in unknown if "=" in u]
+
+    cfg = load_config(args.base)
+    if overrides:
+        cfg = apply_dotlist(cfg, overrides)
+
+    if args.resume:
+        logdir = args.resume.rstrip("/")
+        if logdir.endswith("checkpoints"):
+            logdir = os.path.dirname(logdir)
+    else:
+        now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+        name = args.name or os.path.splitext(os.path.basename(args.base[0]))[0]
+        logdir = os.path.join(args.logdir, f"{now}_{name}")
+    os.makedirs(logdir, exist_ok=True)
+
+    if jax.process_index() == 0:
+        # config snapshot (reference SetupCallback, vtdm/callbacks.py:22-67)
+        import yaml
+
+        with open(os.path.join(logdir, "config.yaml"), "w") as f:
+            yaml.safe_dump(cfg, f, sort_keys=False)
+
+    np.random.seed(args.seed + jax.process_index())
+
+    model = instantiate_from_config(cfg["model"])
+    model.base_learning_rate = cfg["model"].get("base_learning_rate", 1e-5)
+
+    data_cfg = cfg.get("data")
+    if data_cfg is None:
+        raise ValueError("config needs a `data:` section")
+    data = instantiate_from_config(data_cfg)
+    data.setup()
+
+    lightning_cfg = cfg.get("lightning", {})
+    trainer_cfg = lightning_cfg.get("trainer", {})
+    ckpt_cfg = (
+        lightning_cfg.get("modelcheckpoint", {}).get("params", {})
+    )
+
+    sample_hw = (data.height, data.width)
+    model.init(
+        latent_hw=(sample_hw[0] // 8, sample_hw[1] // 8),
+        num_frames=2,
+        image_hw=(64, 64),
+    )
+    ckpt_path = cfg["model"]["params"].get("ckpt_path")
+    if ckpt_path and os.path.exists(ckpt_path):
+        model.init_from_ckpt(ckpt_path)
+
+    img_cb = (
+        lightning_cfg.get("callbacks", {})
+        .get("image_logger", {})
+        .get("params", {})
+    )
+    trainer = Trainer(
+        model,
+        logdir=logdir,
+        scale_lr=args.scale_lr,
+        accumulate_grad_batches=trainer_cfg.get("accumulate_grad_batches", 1),
+        batch_size=data.batch_size,
+        ckpt_every_n_steps=ckpt_cfg.get("every_n_train_steps", 3000),
+        log_images_every=img_cb.get("batch_frequency", 200),
+        max_to_keep=ckpt_cfg.get("save_top_k", 10),
+        seed=args.seed,
+    )
+
+    max_steps = args.max_steps or trainer_cfg.get("max_steps", 100000)
+    if args.train:
+        trainer.fit(data.train_dataloader(), max_steps=max_steps,
+                    resume=bool(args.resume))
+
+
+if __name__ == "__main__":
+    main()
