@@ -188,6 +188,12 @@ class FrozenOpenCLIPImageEmbedder(AbstractEmbedder):
         self.unsqueeze_dim = unsqueeze_dim
 
     def init_params(self, rng):
+        import os
+
+        if self.params is None and self.version and os.path.exists(self.version):
+            from .convert.torch_to_jax import load_open_clip_visual
+
+            self.params = load_open_clip_visual(self.version)
         if self.params is None:
             x = jnp.zeros((1, 224, 224, 3))
             self.params = self.module.init(rng, x)
@@ -280,13 +286,34 @@ class VideoPredictionEmbedderWithEncoder(AbstractEmbedder):
 class AesEmbedder(AbstractEmbedder):
     """Aesthetic-score vector conditioning (stage 1 only)."""
 
-    def __init__(self, freeze: bool = True, dtype=jnp.float32):
+    CLIP_PATH = "ckpts/ViT-L-14.pt"  # reference vtdm/encoders.py:59
+    MLP_PATH = "ckpts/metric_models/sac+logos+ava1-l14-linearMSE.pth"  # :63
+
+    def __init__(
+        self,
+        freeze: bool = True,
+        dtype=jnp.float32,
+        clip_path: Optional[str] = None,
+        mlp_path: Optional[str] = None,
+    ):
         self.clip = vit_l_14(dtype=dtype)
         self.mlp = AestheticMLP(dtype=dtype)
         self.clip_params = None
         self.mlp_params = None
+        self.clip_path = clip_path or self.CLIP_PATH
+        self.mlp_path = mlp_path or self.MLP_PATH
 
     def init_params(self, rng):
+        import os
+
+        if self.clip_params is None and os.path.exists(self.clip_path):
+            from .convert.torch_to_jax import load_clip_jit_visual
+
+            self.clip_params = load_clip_jit_visual(self.clip_path)
+        if self.mlp_params is None and os.path.exists(self.mlp_path):
+            from .convert.torch_to_jax import load_aesthetic_mlp
+
+            self.mlp_params = load_aesthetic_mlp(self.mlp_path)
         r1, r2 = jax.random.split(rng)
         if self.clip_params is None:
             self.clip_params = self.clip.init(r1, jnp.zeros((1, 224, 224, 3)))
@@ -329,8 +356,16 @@ class DepthEmbedder(AbstractEmbedder):
         self.scale_factor = float(scale_factor)
         self.model = DPTDepthModel(dtype=dtype, **(model_kwargs or {}))
         self.params = None
+        # reference vtdm/encoders.py:18 hardcodes the MiDaS checkpoint path
+        self.model_path = "ckpts/dpt_hybrid_384.pt"
 
     def init_params(self, rng):
+        import os
+
+        if self.params is None and os.path.exists(self.model_path):
+            from .convert.torch_to_jax import load_dpt_params
+
+            self.params = load_dpt_params(self.model_path)
         if self.params is None:
             self.params = self.model.init(rng, jnp.zeros((1, 384, 384, 3)))
 

@@ -413,3 +413,130 @@ def _merge_like(base: Optional[Dict], incoming: Dict) -> Dict:
     if unexpected:
         print(f"[convert] {len(unexpected)} unexpected keys (ignored)")
     return flax.traverse_util.unflatten_dict(flat_base)
+
+
+# --------------------------------------------------------------------------
+# DPT (MiDaS dpt_hybrid_384.pt) and standalone tower checkpoints
+# --------------------------------------------------------------------------
+
+
+def convert_dpt_key(key: str) -> Optional[Path]:
+    """Map a MiDaS DPT-hybrid state-dict key to hi3d_tpu.models.dpt paths.
+
+    Reference layout: annotator/midas/vit.py:357-495 (pretrained.model =
+    timm vit_base_resnet50_384; act_postprocess3/4 = readout+proj;
+    scratch.* = reassemble/fusion/head from annotator/midas/blocks.py).
+    """
+    parts = key.split(".")
+    if parts[0] == "pretrained":
+        parts = parts[1:]
+        if parts[0] == "model":
+            parts = parts[1:]
+            head = parts[0]
+            if head in ("cls_token", "pos_embed"):
+                return ("_self_",)
+            if head == "norm":
+                return None  # final ViT norm feeds the (unused) classifier
+            if head == "patch_embed":
+                if parts[1] == "proj":
+                    return ("patch_proj",)
+                # patch_embed.backbone.*
+                rest = parts[2:]
+                if rest[0] == "stem":
+                    if rest[1] == "conv":
+                        return ("backbone", "stem_conv")
+                    return ("backbone", "stem_norm", _NORM)
+                if rest[0] == "stages":
+                    s, b = rest[1], rest[3]
+                    sub = rest[4:]
+                    base = ("backbone", f"stage{s}_block{b}")
+                    if sub[0] == "downsample":
+                        if sub[1] == "conv":
+                            return base + ("downsample_conv",)
+                        return base + ("downsample_norm", _NORM)
+                    if sub[0].startswith("conv"):
+                        return base + (sub[0],)
+                    if sub[0].startswith("norm"):
+                        return base + (sub[0], _NORM)
+                if rest[0] == "norm":
+                    return None  # absent in the post-act hybrid
+                return None
+            if head == "blocks":
+                i = parts[1]
+                rest = parts[2:]
+                base = (f"block{i}",)
+                if rest[0] in ("norm1", "norm2"):
+                    return base + (rest[0], _NORM_PLAIN)
+                if rest[0] == "attn":
+                    return base + (f"attn_{rest[1]}",)
+                if rest[0] == "mlp":
+                    return base + (f"mlp_{rest[1]}",)
+            return None
+        if parts[0].startswith("act_postprocess"):
+            n = parts[0][-1]  # '3' or '4'
+            idx = parts[1]
+            if idx == "0":  # readout: project.0 Linear
+                return (f"post{n}_readout",)
+            if idx == "3":
+                return (f"post{n}_proj",)
+            if idx == "4":
+                return (f"post{n}_down",)
+            return None
+        return None
+    if parts[0] == "scratch":
+        head = parts[1]
+        if head.endswith("_rn"):
+            return (head,)
+        if head.startswith("refinenet"):
+            sub = parts[2]
+            if sub == "out_conv":
+                return (head, "out_conv")
+            if sub.startswith("resConfUnit"):
+                # refinenet4 gets no skip input (dpt_depth.py:73: path_4 =
+                # refinenet4(layer_4_rn)) so its resConfUnit1 params exist in
+                # the torch checkpoint but are never used — drop them
+                if head == "refinenet4" and sub == "resConfUnit1":
+                    return None
+                return (head, f"res_conv_unit{sub[-1]}", parts[3])
+            return None
+        if head == "output_conv":
+            name = {"0": "head_conv1", "2": "head_conv2", "4": "head_conv3"}.get(
+                parts[2]
+            )
+            return (name,) if name else None
+    return None
+
+
+def load_dpt_params(path: str) -> Dict:
+    """dpt_hybrid_384.pt → hi3d_tpu.models.dpt.DPTDepthModel params."""
+    sd = load_torch_state_dict(path)
+    return convert_state_dict(sd, convert_dpt_key)
+
+
+def load_open_clip_visual(path: str) -> Dict:
+    """open_clip_pytorch_model.bin (ViT-H/14) → visual-tower flax params."""
+    sd = load_torch_state_dict(path)
+    visual = {k: v for k, v in sd.items() if k.startswith("visual.")}
+    return convert_state_dict(visual, convert_clip_visual_key)
+
+
+def load_clip_jit_visual(path: str) -> Dict:
+    """OpenAI CLIP ViT-L/14 TorchScript archive (ViT-L-14.pt) → flax params.
+
+    `clip.load` ships a torch.jit archive (vtdm/encoders.py:63); its
+    state_dict carries the same `visual.*` names as open_clip.
+    """
+    import torch
+
+    try:
+        model = torch.jit.load(path, map_location="cpu")
+        sd = {k: _to_np(v) for k, v in model.state_dict().items()}
+    except RuntimeError:
+        sd = load_torch_state_dict(path)
+    visual = {k: v for k, v in sd.items() if k.startswith("visual.")}
+    return convert_state_dict(visual, convert_clip_visual_key)
+
+
+def load_aesthetic_mlp(path: str) -> Dict:
+    """sac+logos+ava1-l14-linearMSE.pth → AestheticMLP params."""
+    return convert_aesthetic_mlp(load_torch_state_dict(path))

@@ -83,6 +83,7 @@ class StdConv(nn.Module):
     kernel_size: Tuple[int, int]
     strides: Tuple[int, int] = (1, 1)
     use_bias: bool = True
+    padding: Any = None  # None → symmetric half padding; or "SAME" (TF)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -98,7 +99,7 @@ class StdConv(nn.Module):
         mean = jnp.mean(k32, axis=(0, 1, 2), keepdims=True)
         var = jnp.var(k32, axis=(0, 1, 2), keepdims=True)
         k = ((k32 - mean) / jnp.sqrt(var + 1e-6)).astype(self.dtype)
-        pad = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
+        pad = self.padding or [(kh // 2, kh // 2), (kw // 2, kw // 2)]
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), k, self.strides, pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -110,21 +111,26 @@ class StdConv(nn.Module):
         return y
 
 
-class GroupNormRelu(nn.Module):
-    """timm GroupNormAct: GroupNorm(32, eps 1e-5) + ReLU, fp32."""
+class GroupNormAct(nn.Module):
+    """timm GroupNormAct: GroupNorm(32, eps 1e-5) (+ optional ReLU), fp32."""
+
+    apply_act: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        )
-        return nn.relu(y).astype(x.dtype)
+        y = nn.GroupNorm(
+            num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="norm"
+        )(x.astype(jnp.float32))
+        if self.apply_act:
+            y = nn.relu(y)
+        return y.astype(x.dtype)
 
 
-class PreActBottleneck(nn.Module):
-    """timm ResNetV2 PreActBottleneck: GN-ReLU → 1×1 → GN-ReLU → 3×3(s) →
-    GN-ReLU → 1×1, with a 1×1 shortcut conv on the pre-activated input when
-    shape changes."""
+class Bottleneck(nn.Module):
+    """timm ResNetV2 post-activation Bottleneck (the variant used by the
+    vit_base_r50_s16 hybrid): conv→GN-ReLU ×2, conv→GN, ReLU(out + shortcut);
+    shortcut = 1×1 StdConv + GN when shape changes. SAME padding throughout
+    (timm StdConv2dSame)."""
 
     out_channels: int
     stride: int = 1
@@ -133,52 +139,61 @@ class PreActBottleneck(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         mid = self.out_channels // 4
-        preact = GroupNormRelu(name="norm1")(x)
         if x.shape[-1] != self.out_channels or self.stride != 1:
             shortcut = StdConv(
                 self.out_channels, (1, 1), (self.stride, self.stride),
-                dtype=self.dtype, name="downsample_conv",
-            )(preact)
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+            shortcut = GroupNormAct(apply_act=False, name="downsample_norm")(
+                shortcut
+            )
         else:
             shortcut = x
-        h = StdConv(mid, (1, 1), dtype=self.dtype, name="conv1")(preact)
-        h = GroupNormRelu(name="norm2")(h)
+        h = StdConv(mid, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        h = GroupNormAct(name="norm1")(h)
         h = StdConv(
-            mid, (3, 3), (self.stride, self.stride), dtype=self.dtype,
-            name="conv2",
+            mid, (3, 3), (self.stride, self.stride), use_bias=False,
+            padding="SAME", dtype=self.dtype, name="conv2",
         )(h)
-        h = GroupNormRelu(name="norm3")(h)
-        h = StdConv(self.out_channels, (1, 1), dtype=self.dtype, name="conv3")(h)
-        return h + shortcut
+        h = GroupNormAct(name="norm2")(h)
+        h = StdConv(
+            self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
+            name="conv3",
+        )(h)
+        h = GroupNormAct(apply_act=False, name="norm3")(h)
+        return nn.relu(h + shortcut)
 
 
 class HybridBackbone(nn.Module):
-    """ResNetV2 stem + stages (3, 4, 9) à la timm vit_base_r50_s16_384.
+    """ResNetV2 stem + stages (3, 4, 9) à la timm vit_base_r50_s16_384
+    (post-activation, weight-standardized convs, TF-SAME padding).
 
-    Returns (stage0 @ /4 · 256ch, stage1 @ /8 · 512ch, final @ /16 · 1024ch
-    after the trailing GroupNorm-ReLU)."""
+    Returns (stage0 @ /4 · 256ch, stage1 @ /8 · 512ch, stage2 @ /16 · 1024ch).
+    """
 
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array):
-        h = StdConv(64, (7, 7), (2, 2), dtype=self.dtype, name="stem_conv")(x)
-        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
-        h = nn.max_pool(h, (3, 3), (2, 2))
+        h = StdConv(
+            64, (7, 7), (2, 2), use_bias=False, padding="SAME",
+            dtype=self.dtype, name="stem_conv",
+        )(x)
+        h = GroupNormAct(name="stem_norm")(h)
+        h = nn.max_pool(h, (3, 3), (2, 2), padding=((0, 1), (0, 1)))
         feats = []
         for s, (blocks, ch, stride) in enumerate(
             [(3, 256, 1), (4, 512, 2), (9, 1024, 2)]
         ):
             for b in range(blocks):
-                h = PreActBottleneck(
+                h = Bottleneck(
                     out_channels=ch,
                     stride=stride if b == 0 else 1,
                     dtype=self.dtype,
                     name=f"stage{s}_block{b}",
                 )(h)
             feats.append(h)
-        h = GroupNormRelu(name="norm")(h)
-        return feats[0], feats[1], h
+        return feats[0], feats[1], feats[2]
 
 
 # --------------------------------------------------------------------------
