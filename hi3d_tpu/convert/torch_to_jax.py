@@ -182,9 +182,21 @@ def convert_vae_key(key: str) -> Optional[Path]:
             return (r[0], _NORM)
         if r[0] in ("conv1", "conv2", "nin_shortcut"):
             return (r[0],)
+        if r[0] == "mix_factor":
+            return ()
+        if r[0] == "time_stack":
+            # VideoDecoder temporal 3-D ResBlock (temporal_ae.py:31-44)
+            if r[1] == "in_layers":
+                return ("time_stack", "in_layers_0", _NORM) if r[2] == "0" \
+                    else ("time_stack", "in_layers_2")
+            if r[1] == "out_layers":
+                return ("time_stack", "out_layers_0", _NORM) if r[2] == "0" \
+                    else ("time_stack", "out_layers_3")
         return None
 
     head = rest[0]
+    if head == "conv_out" and len(rest) > 2 and rest[1] == "time_mix_conv":
+        return (tower, "conv_out", "time_mix_conv")
     if head in ("conv_in", "conv_out"):
         return (tower, head)
     if head == "norm_out":
@@ -192,7 +204,7 @@ def convert_vae_key(key: str) -> Optional[Path]:
     if head == "mid":
         if rest[1] in ("block_1", "block_2"):
             sub = res_inner(rest[2:])
-            return (tower, f"mid_{rest[1]}") + sub if sub else None
+            return (tower, f"mid_{rest[1]}") + sub if sub is not None else None
         if rest[1] == "attn_1":
             leaf = rest[2]
             if leaf == "norm":
@@ -203,7 +215,11 @@ def convert_vae_key(key: str) -> Optional[Path]:
         i = rest[1]
         if rest[2] == "block":
             sub = res_inner(rest[4:])
-            return (tower, f"{head}_{i}_block_{rest[3]}") + sub if sub else None
+            return (
+                (tower, f"{head}_{i}_block_{rest[3]}") + sub
+                if sub is not None
+                else None
+            )
         if rest[2] in ("downsample", "upsample"):
             return (tower, f"{head}_{i}_{rest[2]}", "conv")
         if rest[2] == "attn":

@@ -276,6 +276,108 @@ class EulerAncestralSampler(AncestralSampler):
         return self.ancestral_step(x, sigma, next_sigma, sigma_up, rng)
 
 
+class DPMPP2SAncestralSampler(AncestralSampler):
+    """DPM-Solver++(2S) with ancestral noise (reference sampling.py:264-302).
+
+    The reference skips the midpoint evaluation when σ_down == 0 (Python
+    branch); here both branches trace and `jnp.where` selects, with σ clamped
+    before the log/divide so the discarded branch stays finite.
+    """
+
+    @staticmethod
+    def _variables(sigma, sigma_down):
+        t = -jnp.log(jnp.maximum(sigma, _SIGMA_EPS))
+        t_next = -jnp.log(jnp.maximum(sigma_down, _SIGMA_EPS))
+        h = t_next - t
+        s = t + 0.5 * h
+        return h, s, t, t_next
+
+    def sampler_step(self, sigma, next_sigma, denoiser, x, cond, uc, rng):
+        sigma_down, sigma_up = get_ancestral_step(sigma, next_sigma, eta=self.eta)
+        denoised = self.denoise(x, denoiser, sigma, cond, uc)
+        x_euler = self.ancestral_euler_step(x, denoised, sigma, sigma_down)
+
+        h, s, t, t_next = self._variables(sigma, sigma_down)
+        sig = lambda v: jnp.exp(-v)  # to_sigma
+        mult1 = append_dims(sig(s) / sig(t), x.ndim).astype(x.dtype)
+        mult2 = append_dims(jnp.expm1(-0.5 * h), x.ndim).astype(x.dtype)
+        mult3 = append_dims(sig(t_next) / sig(t), x.ndim).astype(x.dtype)
+        mult4 = append_dims(jnp.expm1(-h), x.ndim).astype(x.dtype)
+
+        x2 = mult1 * x - mult2 * denoised.astype(x.dtype)
+        denoised2 = self.denoise(
+            x2, denoiser, jnp.maximum(sig(s), _SIGMA_EPS), cond, uc
+        )
+        x_2s = mult3 * x - mult4 * denoised2.astype(x.dtype)
+
+        x = jnp.where(append_dims(sigma_down, x.ndim) > 0.0, x_2s, x_euler)
+        return self.ancestral_step(x, sigma, next_sigma, sigma_up, rng)
+
+
+class LinearMultistepSampler(BaseDiffusionSampler):
+    """Adams-Bashforth-style linear multistep sampler (reference
+    sampling.py:190-225 + sampling_utils.linear_multistep_coeff).
+
+    The integration coefficients depend only on the (host-side) σ schedule,
+    so the (num_steps, order) coefficient matrix is precomputed with
+    scipy.integrate and baked into the scan as a constant; the derivative
+    history rides in the scan carry (newest first), zero-padded below the
+    current order exactly like the reference's growing `ds` list.
+    """
+
+    def __init__(self, order: int = 4, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.order = int(order)
+
+    def _coeff_matrix(self, sigmas_np: np.ndarray) -> np.ndarray:
+        from scipy import integrate
+
+        n = len(sigmas_np) - 1
+        coeffs = np.zeros((n, self.order), np.float32)
+        for i in range(n):
+            cur = min(i + 1, self.order)
+            for j in range(cur):
+                def fn(tau, j=j, cur=cur):
+                    prod = 1.0
+                    for k in range(cur):
+                        if j == k:
+                            continue
+                        prod *= (tau - sigmas_np[i - k]) / (
+                            sigmas_np[i - j] - sigmas_np[i - k]
+                        )
+                    return prod
+
+                coeffs[i, j] = integrate.quad(
+                    fn, sigmas_np[i], sigmas_np[i + 1], epsrel=1e-4
+                )[0]
+        return coeffs
+
+    def __call__(self, denoiser, x, cond, uc=None, num_steps=None, rng=None):
+        x, s_in, sigmas, num_sigmas, cond, uc = self.prepare_sampling_loop(
+            x, cond, uc, num_steps
+        )
+        sig_np = np.append(
+            self.discretization.get_sigmas(
+                self.num_steps if num_steps is None else num_steps
+            ),
+            np.float32(0.0),
+        )
+        coeffs = jnp.asarray(self._coeff_matrix(sig_np))  # (n, order)
+
+        def body(carry, inp):
+            x, hist = carry  # hist: (order, ...), newest first
+            sigma, c_i = inp
+            denoised = self.denoise(x, denoiser, s_in * sigma, cond, uc)
+            d = to_d(x, s_in * sigma, denoised).astype(x.dtype)
+            hist = jnp.concatenate([d[None], hist[:-1]], axis=0)
+            update = jnp.tensordot(c_i.astype(x.dtype), hist, axes=1)
+            return (x + update, hist), None
+
+        hist0 = jnp.zeros((self.order,) + x.shape, x.dtype)
+        (x, _), _ = lax.scan(body, (x, hist0), (sigmas[:-1], coeffs))
+        return x
+
+
 class DPMPP2MSampler(BaseDiffusionSampler):
     """DPM-Solver++(2M): deterministic multistep in log-σ time."""
 

@@ -35,6 +35,8 @@ _ALIASES: Dict[str, str] = {
     "sgm.modules.diffusionmodules.sampling.HeunEDMSampler": "hi3d_tpu.diffusion.samplers:HeunEDMSampler",
     "sgm.modules.diffusionmodules.sampling.EulerAncestralSampler": "hi3d_tpu.diffusion.samplers:EulerAncestralSampler",
     "sgm.modules.diffusionmodules.sampling.DPMPP2MSampler": "hi3d_tpu.diffusion.samplers:DPMPP2MSampler",
+    "sgm.modules.diffusionmodules.sampling.DPMPP2SAncestralSampler": "hi3d_tpu.diffusion.samplers:DPMPP2SAncestralSampler",
+    "sgm.modules.diffusionmodules.sampling.LinearMultistepSampler": "hi3d_tpu.diffusion.samplers:LinearMultistepSampler",
     "sgm.modules.diffusionmodules.loss.StandardDiffusionLoss": "hi3d_tpu.diffusion.loss:StandardDiffusionLoss",
     # --- networks ---
     "sgm.modules.diffusionmodules.video_model.VideoUNet": "hi3d_tpu.models.unet:VideoUNet",
@@ -43,6 +45,9 @@ _ALIASES: Dict[str, str] = {
     # --- autoencoder ---
     "sgm.models.autoencoder.AutoencoderKL": "hi3d_tpu.models.vae:AutoencoderKL",
     "sgm.models.autoencoder.AutoencoderKLModeOnly": "hi3d_tpu.models.vae:AutoencoderKLModeOnly",
+    "sgm.modules.autoencoding.temporal_ae.VideoDecoder": "hi3d_tpu.models.temporal_ae:VideoDecoder",
+    "sgm.modules.diffusionmodules.model.Encoder": "hi3d_tpu.models.vae:Encoder",
+    "sgm.modules.diffusionmodules.model.Decoder": "hi3d_tpu.models.vae:Decoder",
     # --- conditioners ---
     "sgm.modules.GeneralConditioner": "hi3d_tpu.conditioners:GeneralConditioner",
     "sgm.modules.encoders.modules.GeneralConditioner": "hi3d_tpu.conditioners:GeneralConditioner",

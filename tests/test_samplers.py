@@ -160,3 +160,70 @@ def test_to_d():
     d = np.asarray(to_d(x, sigma, den))
     np.testing.assert_allclose(d[0], (4 - 1) / 1.5, rtol=1e-6)
     np.testing.assert_allclose(d[1], (4 - 1) / 3.0, rtol=1e-6)
+
+
+def test_dpmpp2s_ancestral_deterministic_matches_python():
+    """η=0 removes ancestral noise; compare against a hand-rolled python
+    DPM-Solver++(2S) loop (reference sampling.py:264-302 semantics)."""
+    from hi3d_tpu.diffusion.samplers import DPMPP2SAncestralSampler
+
+    sampler = DPMPP2SAncestralSampler(
+        eta=0.0, num_steps=6, discretization_config=DISC
+    )
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 8, 8))
+    out = sampler(toy_denoiser, x0, cond={}, uc=None, rng=jax.random.PRNGKey(0))
+
+    sig = np.append(np.asarray(sampler.discretization(6), np.float64), 0.0)
+    den = lambda x, s: x / (1 + s)
+    x = np.asarray(x0, np.float64) * np.sqrt(1 + sig[0] ** 2)
+    for i in range(6):
+        sigma, sigma_down = sig[i], sig[i + 1]  # eta=0 → σ_down = σ_next
+        d0 = den(x, sigma)
+        if sigma_down == 0.0:
+            d = (x - d0) / sigma
+            x = x + (sigma_down - sigma) * d
+        else:
+            t, t_next = -np.log(sigma), -np.log(sigma_down)
+            h = t_next - t
+            s_mid = t + 0.5 * h
+            x2 = (np.exp(-s_mid) / np.exp(-t)) * x - np.expm1(-0.5 * h) * d0
+            d2 = den(x2, np.exp(-s_mid))
+            x = (np.exp(-t_next) / np.exp(-t)) * x - np.expm1(-h) * d2
+    np.testing.assert_allclose(np.asarray(out), x, rtol=2e-4, atol=2e-4)
+
+
+def test_linear_multistep_matches_python():
+    from hi3d_tpu.diffusion.samplers import LinearMultistepSampler
+    from scipy import integrate
+
+    sampler = LinearMultistepSampler(order=4, num_steps=7,
+                                     discretization_config=DISC)
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 8, 8))
+    out = sampler(toy_denoiser, x0, cond={}, uc=None)
+
+    # hand-rolled reference loop (sampling.py:201-225)
+    sig = np.append(np.asarray(sampler.discretization(7), np.float64), 0.0)
+
+    def lms_coeff(order, t, i, j):
+        def fn(tau):
+            prod = 1.0
+            for k in range(order):
+                if j == k:
+                    continue
+                prod *= (tau - t[i - k]) / (t[i - j] - t[i - k])
+            return prod
+
+        return integrate.quad(fn, t[i], t[i + 1], epsrel=1e-4)[0]
+
+    den = lambda x, s: x / (1 + s)
+    x = np.asarray(x0, np.float64) * np.sqrt(1 + sig[0] ** 2)
+    ds = []
+    for i in range(7):
+        d = (x - den(x, sig[i])) / sig[i]
+        ds.append(d)
+        if len(ds) > 4:
+            ds.pop(0)
+        cur = min(i + 1, 4)
+        coeffs = [lms_coeff(cur, sig, i, j) for j in range(cur)]
+        x = x + sum(c * dd for c, dd in zip(coeffs, reversed(ds)))
+    np.testing.assert_allclose(np.asarray(out), x, rtol=5e-4, atol=5e-4)
