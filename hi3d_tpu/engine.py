@@ -67,6 +67,8 @@ class DiffusionEngine:
         no_cond_log: bool = False,
         compile_model: bool = False,
         en_and_decode_n_samples_a_time: Optional[int] = None,
+        decode_tile_size: Optional[int] = 96,  # latent side beyond which the
+        # VAE decode tiles spatially (None disables; see vae.decode_tiled)
         compute_dtype: str = "float32",
         base_learning_rate: Optional[float] = None,  # config passthrough
         seed: int = 0,
@@ -76,6 +78,7 @@ class DiffusionEngine:
         self.scale_factor = float(scale_factor)
         self.disable_first_stage_autocast = disable_first_stage_autocast
         self.en_and_decode_n_samples_a_time = en_and_decode_n_samples_a_time
+        self.decode_tile_size = decode_tile_size
         self.use_ema = use_ema
         self.ema_decay_rate = ema_decay_rate
         self.log_keys = log_keys
@@ -177,12 +180,20 @@ class DiffusionEngine:
         return (self.scale_factor * z).astype(self.compute_dtype)
 
     def decode_first_stage(self, z: jax.Array) -> jax.Array:
-        return self._chunked(
-            lambda v: self.first_stage_model.decode(
-                (1.0 / self.scale_factor) * v.astype(jnp.float32)
-            ),
-            z,
+        tiled = (
+            self.decode_tile_size is not None
+            and max(z.shape[1], z.shape[2]) > self.decode_tile_size
         )
+
+        def dec(v):
+            v = (1.0 / self.scale_factor) * v.astype(jnp.float32)
+            if tiled:
+                return self.first_stage_model.decode_tiled(
+                    v, tile=self.decode_tile_size
+                )
+            return self.first_stage_model.decode(v)
+
+        return self._chunked(dec, z)
 
     # --------------------------------------------------------------- network
     def bound_network(self, params=None, **static_kwargs):

@@ -351,6 +351,64 @@ class AutoencoderKL:
     def decode(self, z: jax.Array) -> jax.Array:
         return self.module.apply(self.params, z, method=self.module.decode)
 
+    def decode_tiled(
+        self,
+        z: jax.Array,
+        tile: int = 64,
+        overlap: int = 16,
+    ) -> jax.Array:
+        """Spatially tiled decode with feathered overlap blending.
+
+        The reference sidesteps 1024² decode memory by decoding one frame at
+        a time on an 80 GB card (en_and_decode_n_samples_a_time=1,
+        configs/train-v02.yaml:22). On TPU the (N, 128, 128, 4) → (N, 1024²,3)
+        decoder activations can exceed HBM; tiling the *latent* plane into
+        `tile`² blocks with `overlap` latent pixels of linear cross-fade keeps
+        peak memory at one tile's activations. Fully jittable (static tile
+        grid).
+        """
+        n, h, w, c = z.shape
+        if h <= tile and w <= tile:
+            return self.decode(z)
+        stride = tile - overlap
+        # decoder upsampling factor follows the ch_mult pyramid depth
+        f = 2 ** (len(self.module.ddconfig.get("ch_mult", (1, 2, 4, 4))) - 1)
+
+        ys = list(range(0, max(h - tile, 0) + 1, stride))
+        if ys[-1] + tile < h:
+            ys.append(h - tile)
+        xs = list(range(0, max(w - tile, 0) + 1, stride))
+        if xs[-1] + tile < w:
+            xs.append(w - tile)
+
+        def ramp(total, lo_fade, hi_fade):
+            """(tile·f,) feather weights: fade in/out only on interior seams."""
+            t = tile * f
+            wgt = jnp.ones((t,), jnp.float32)
+            fade = overlap * f
+            if lo_fade:
+                wgt = wgt.at[:fade].set(jnp.linspace(0.0, 1.0, fade + 2)[1:-1])
+            if hi_fade:
+                wgt = wgt.at[-fade:].set(jnp.linspace(1.0, 0.0, fade + 2)[1:-1])
+            return wgt
+
+        out = jnp.zeros((n, h * f, w * f, self.module.ddconfig.get("out_ch", 3)),
+                        jnp.float32)
+        acc = jnp.zeros((n, h * f, w * f, 1), jnp.float32)
+        for yi, y0 in enumerate(ys):
+            for xi, x0 in enumerate(xs):
+                patch = self.decode(z[:, y0 : y0 + tile, x0 : x0 + tile])
+                wy = ramp(h, yi > 0, yi < len(ys) - 1)
+                wx = ramp(w, xi > 0, xi < len(xs) - 1)
+                wgt = (wy[:, None] * wx[None, :])[None, :, :, None]
+                out = out.at[:, y0 * f : (y0 + tile) * f,
+                             x0 * f : (x0 + tile) * f].add(
+                    patch.astype(jnp.float32) * wgt
+                )
+                acc = acc.at[:, y0 * f : (y0 + tile) * f,
+                             x0 * f : (x0 + tile) * f].add(wgt)
+        return (out / jnp.maximum(acc, 1e-8)).astype(z.dtype)
+
 
 class AutoencoderKLModeOnly(AutoencoderKL):
     """Deterministic posterior mode (used for conditioning-frame encoding)."""

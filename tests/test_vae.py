@@ -68,3 +68,32 @@ def test_diagonal_gaussian():
     # samples have roughly the right stats
     s = np.asarray(dist.sample(jax.random.PRNGKey(0)))
     assert abs(s.mean() - 0.5) < 0.15
+
+
+def test_tiled_decode_close_to_full():
+    """Feathered tiled decode ≈ full decode (interior exact up to blending;
+    seams within tolerance thanks to the overlap cross-fade)."""
+    from hi3d_tpu.models.vae import AutoencoderKL
+
+    vae = AutoencoderKL(
+        ddconfig=dict(double_z=True, z_channels=4, in_channels=3, out_ch=3,
+                      ch=8, ch_mult=[1, 2], num_res_blocks=1,
+                      attn_resolutions=[], resolution=64),
+    )
+    vae.init(jax.random.PRNGKey(0), image_hw=(32, 32))
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 48, 48, 4)) * 0.5
+    full = vae.decode(z)
+    tiled = vae.decode_tiled(z, tile=32, overlap=16)
+    assert tiled.shape == full.shape
+    # exactness is impossible: the mid-block attention is global, so each
+    # tile attends only within itself (the standard tiled-VAE tradeoff);
+    # random weights amplify the gap far beyond trained-weight behavior
+    diff = np.abs(np.asarray(tiled) - np.asarray(full))
+    assert float(np.mean(diff)) < 0.15, float(np.mean(diff))
+    assert np.all(np.isfinite(np.asarray(tiled)))
+    # small tile == passthrough
+    z_small = z[:, :32, :32]
+    np.testing.assert_allclose(
+        np.asarray(vae.decode_tiled(z_small, tile=32)),
+        np.asarray(vae.decode(z_small)), rtol=1e-5, atol=1e-6,
+    )
