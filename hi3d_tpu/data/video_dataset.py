@@ -84,8 +84,6 @@ class VideoTrainDataset:
         return selected[: self.sample_frames], elevation
 
     def _load_clip(self, folder: str, rng):
-        import cv2
-
         folder_path = os.path.join(self.base_folder, folder)
         frames = sorted(os.listdir(folder_path))
         if len(frames) < self.sample_frames:
@@ -93,9 +91,26 @@ class VideoTrainDataset:
                 f"folder {folder!r} has {len(frames)} < {self.sample_frames} frames"
             )
         selected, elevation = self._select_window(frames, rng)
+        paths = [os.path.join(folder_path, n) for n in selected]
+
+        # native C++ decode/composite/resize core (threads, no GIL);
+        # cv2 fallback keeps behavior identical when the toolchain is absent
+        from . import native_loader
+
+        if native_loader.available():
+            try:
+                video, masks = native_loader.load_clip(
+                    paths, self.height, self.width
+                )
+                return video, masks, elevation, selected[0]
+            except RuntimeError:
+                pass
+
+        import cv2
+
         video, masks = [], []
-        for name in selected:
-            rgb, mask = load_rgba_white(os.path.join(folder_path, name))
+        for path in paths:
+            rgb, mask = load_rgba_white(path)
             rgb = cv2.resize(rgb, (self.width, self.height))
             mask = cv2.resize(mask, (self.width, self.height))
             video.append(rgb.astype(np.float32) / 127.5 - 1.0)
