@@ -46,6 +46,10 @@ _ALIASES: Dict[str, str] = {
     "sgm.models.autoencoder.AutoencoderKL": "hi3d_tpu.models.vae:AutoencoderKL",
     "sgm.models.autoencoder.AutoencoderKLModeOnly": "hi3d_tpu.models.vae:AutoencoderKLModeOnly",
     "sgm.modules.autoencoding.temporal_ae.VideoDecoder": "hi3d_tpu.models.temporal_ae:VideoDecoder",
+    "sgm.models.autoencoder.AutoencodingEngine": "hi3d_tpu.models.autoencoding:AutoencodingEngine",
+    "sgm.models.autoencoder.AutoencodingEngineLegacy": "hi3d_tpu.models.autoencoding:AutoencodingEngine",
+    "sgm.modules.autoencoding.regularizers.DiagonalGaussianRegularizer": "hi3d_tpu.models.autoencoding:DiagonalGaussianRegularizer",
+    "sgm.modules.autoencoding.lpips.loss.lpips.LPIPS": "hi3d_tpu.models.lpips:LPIPS",
     "sgm.modules.diffusionmodules.model.Encoder": "hi3d_tpu.models.vae:Encoder",
     "sgm.modules.diffusionmodules.model.Decoder": "hi3d_tpu.models.vae:Decoder",
     # --- conditioners ---
