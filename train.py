@@ -39,6 +39,9 @@ def parse_args(argv=None):
     p.add_argument("--scale_lr", type=str2bool, default=True)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--projectname", type=str, default="hi3d_tpu")
+    p.add_argument("--outckpt", type=str, default="",
+                   help="export the final weights as a reference-layout "
+                        "safetensors (train_ddp_spawn.py:441-443 parity)")
     return p.parse_known_args(argv)
 
 
@@ -118,8 +121,19 @@ def main(argv=None) -> None:
 
     max_steps = args.max_steps or trainer_cfg.get("max_steps", 100000)
     if args.train:
-        trainer.fit(data.train_dataloader(), max_steps=max_steps,
-                    resume=bool(args.resume))
+        state = trainer.fit(data.train_dataloader(), max_steps=max_steps,
+                            resume=bool(args.resume))
+        model.params = state.params
+        model.ema_params = state.ema_params
+
+    if args.outckpt and jax.process_index() == 0:
+        from hi3d_tpu.convert.jax_to_torch import (
+            export_engine_state_dict,
+            save_safetensors,
+        )
+
+        save_safetensors(export_engine_state_dict(model), args.outckpt)
+        print(f"[train] exported {args.outckpt}")
 
 
 if __name__ == "__main__":
