@@ -22,7 +22,7 @@ import json
 import os
 import signal
 import time
-from typing import Any, Callable, Dict, Iterator, Optional
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
 import numpy as np
 import jax
@@ -33,6 +33,19 @@ from .state import TrainState, build_optimizer
 from .step import make_train_step, place_state
 
 ARRAY_BATCH_KEYS_DROP = ("caption",)  # non-array keys stripped before jit
+
+
+def device_memory_stats() -> Dict[str, float]:
+    """Peak/current device memory in GB (CUDACallback parity,
+    vtdm/callbacks.py:146-166 — torch.cuda.max_memory_allocated)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return {
+            "mem_gb": round(stats.get("bytes_in_use", 0) / 2**30, 3),
+            "peak_mem_gb": round(stats.get("peak_bytes_in_use", 0) / 2**30, 3),
+        }
+    except Exception:
+        return {}
 
 
 class MetricsLogger:
@@ -48,6 +61,7 @@ class MetricsLogger:
         if step % self.log_every:
             return
         rec = {"step": step, "wall_s": round(time.time() - self._t0, 2)}
+        rec.update(device_memory_stats())
         rec.update({
             k: (float(v) if not isinstance(v, (str, list)) else v)
             for k, v in metrics.items()
@@ -151,6 +165,7 @@ class Trainer:
         max_to_keep: int = 10,
         seed: int = 0,
         grad_clip: Optional[float] = None,
+        profile_steps: Optional[Tuple[int, int]] = None,  # (start, stop)
     ):
         self.engine = engine
         self.logdir = logdir
@@ -202,6 +217,7 @@ class Trainer:
         )
         self._compiled_step = None
 
+        self.profile_steps = profile_steps
         self.metrics = MetricsLogger(logdir, log_every=log_every)
         self.image_logger = ImageLogger(logdir, every_n_steps=log_images_every)
         self.checkpointer = Checkpointer(
@@ -271,11 +287,20 @@ class Trainer:
                     t0 = time.time()
                     self._compiled_step = self._step_factory(self.state, dev_batch)
                     print(f"[trainer] step compiled in {time.time() - t0:.1f}s")
+                # jax.profiler window (the reference only has Lightning's
+                # exit-time summary; this gives a real XLA trace)
+                if self.profile_steps and step == self.profile_steps[0]:
+                    jax.profiler.start_trace(
+                        os.path.join(self.logdir, "profile")
+                    )
                 t0 = time.time()
                 self.state, metrics = self._compiled_step(
                     self.state, dev_batch, jax.random.fold_in(rng, 2 * step + 1)
                 )
                 step += 1
+                if self.profile_steps and step == self.profile_steps[1]:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
                 metrics = dict(metrics)
                 metrics["sec_per_step"] = time.time() - t0
                 self.metrics(step, metrics)
