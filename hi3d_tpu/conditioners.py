@@ -393,3 +393,143 @@ class DepthEmbedder(AbstractEmbedder):
         y = y.reshape(bt, h8, s, w8, s)
         y = y.transpose(0, 1, 3, 2, 4).reshape(bt, h8, w8, s * s)
         return y
+
+
+# --------------------------------------------------------------------------
+# auxiliary embedders (sgm surface beyond the Hi3D task — reference
+# sgm/modules/encoders/modules.py:187-929; unused by the shipped configs)
+# --------------------------------------------------------------------------
+
+
+class IdentityEncoder(AbstractEmbedder):
+    """modules.py:207-212 — passthrough conditioning."""
+
+    def __call__(self, x, rng=None):
+        return jnp.asarray(x)
+
+
+class ClassEmbedder(AbstractEmbedder):
+    """modules.py:215-234 — learned class-label embedding table; class
+    n_classes−1 is reserved as the unconditional token."""
+
+    def __init__(self, embed_dim: int, n_classes: int = 1000,
+                 add_sequence_dim: bool = False):
+        self.embed_dim = int(embed_dim)
+        self.n_classes = int(n_classes)
+        self.add_sequence_dim = add_sequence_dim
+        self.params = None
+
+    def init_params(self, rng):
+        if self.params is None:
+            self.params = (
+                jax.random.normal(rng, (self.n_classes, self.embed_dim)) * 0.02
+            )
+
+    def __call__(self, c, rng=None):
+        emb = self.params[jnp.asarray(c, jnp.int32)]
+        return emb[:, None, :] if self.add_sequence_dim else emb
+
+    def get_unconditional_conditioning(self, bs: int):
+        return {self.input_key: jnp.full((bs,), self.n_classes - 1, jnp.int32)}
+
+
+class SpatialRescaler(AbstractEmbedder):
+    """modules.py:759-816 — n_stages × multiplier resize (+ optional 1×1
+    channel remap), video-aware. NHWC."""
+
+    def __init__(
+        self,
+        n_stages: int = 1,
+        method: str = "bilinear",
+        multiplier: float = 0.5,
+        in_channels: int = 3,
+        out_channels: Optional[int] = None,
+        bias: bool = False,
+        wrap_video: bool = False,
+        kernel_size: int = 1,
+        remap_output: bool = False,
+    ):
+        if method not in ("nearest", "linear", "bilinear", "bicubic"):
+            raise NotImplementedError(f"method {method!r}")
+        self.n_stages = int(n_stages)
+        self.method = {"linear": "bilinear"}.get(method, method)
+        self.multiplier = float(multiplier)
+        self.remap = out_channels is not None or remap_output
+        self.out_channels = out_channels
+        self.kernel_size = int(kernel_size)
+        self.use_bias = bias
+        self.wrap_video = wrap_video
+        self.params = None
+        self._mapper = None
+        if self.remap:
+            import flax.linen as nn
+
+            self._mapper = nn.Conv(
+                out_channels, (self.kernel_size, self.kernel_size),
+                use_bias=bias,
+                padding=[(self.kernel_size // 2, self.kernel_size // 2)] * 2,
+            )
+            self._in_channels = in_channels
+
+    def init_params(self, rng):
+        if self._mapper is not None and self.params is None:
+            self.params = self._mapper.init(
+                rng, jnp.zeros((1, 8, 8, self._in_channels))
+            )
+
+    def __call__(self, x, rng=None):
+        x = jnp.asarray(x)
+        video_shape = None
+        if self.wrap_video and x.ndim == 5:
+            video_shape = x.shape  # (B, T, H, W, C)
+            x = x.reshape(-1, *x.shape[2:])
+        for _ in range(self.n_stages):
+            b, h, w, c = x.shape
+            nh, nw = int(h * self.multiplier), int(w * self.multiplier)
+            x = jax.image.resize(
+                x, (b, nh, nw, c),
+                {"bilinear": "bilinear", "nearest": "nearest",
+                 "bicubic": "cubic"}[self.method],
+            )
+        if self._mapper is not None:
+            x = self._mapper.apply(self.params, x)
+        if video_shape is not None:
+            x = x.reshape(video_shape[0], video_shape[1], *x.shape[1:])
+        return x
+
+
+class FrozenT5Embedder(AbstractEmbedder):
+    """modules.py:250-290 — T5 text encoder via transformers' flax weights.
+
+    Accepts raw strings (tokenized on host) or pre-tokenized int32 ids.
+    Unused by Hi3D's shipped configs; provided for the full sgm surface.
+    """
+
+    def __init__(self, version: str = "google/t5-v1_1-xxl", max_length: int = 77,
+                 freeze: bool = True, **_unused):
+        self.version = version
+        self.max_length = int(max_length)
+        self._model = None
+        self._tokenizer = None
+
+    def _lazy(self):
+        if self._model is None:
+            from transformers import AutoTokenizer, FlaxT5EncoderModel
+
+            self._tokenizer = AutoTokenizer.from_pretrained(self.version)
+            self._model = FlaxT5EncoderModel.from_pretrained(
+                self.version, dtype=jnp.float32
+            )
+        return self._model, self._tokenizer
+
+    def __call__(self, text, rng=None):
+        model, tok = self._lazy()
+        if isinstance(text, (list, tuple)) and isinstance(text[0], str):
+            ids = tok(
+                list(text), truncation=True, max_length=self.max_length,
+                padding="max_length", return_tensors="np",
+            )["input_ids"]
+        else:
+            ids = np.asarray(text, np.int32)
+        out = model(input_ids=jnp.asarray(ids))
+        return out.last_hidden_state  # (B, L, D) crossattn

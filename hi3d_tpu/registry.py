@@ -61,6 +61,10 @@ _ALIASES: Dict[str, str] = {
     "sgm.modules.encoders.modules.VideoPredictionEmbedderWithEncoder": "hi3d_tpu.conditioners:VideoPredictionEmbedderWithEncoder",
     "vtdm.encoders.AesEmbedder": "hi3d_tpu.conditioners:AesEmbedder",
     "vtdm.encoders.DepthEmbedder": "hi3d_tpu.conditioners:DepthEmbedder",
+    "sgm.modules.encoders.modules.IdentityEncoder": "hi3d_tpu.conditioners:IdentityEncoder",
+    "sgm.modules.encoders.modules.ClassEmbedder": "hi3d_tpu.conditioners:ClassEmbedder",
+    "sgm.modules.encoders.modules.SpatialRescaler": "hi3d_tpu.conditioners:SpatialRescaler",
+    "sgm.modules.encoders.modules.FrozenT5Embedder": "hi3d_tpu.conditioners:FrozenT5Embedder",
     # --- task layer ---
     "vtdm.vtdm_gen_v01.VideoLDM": "hi3d_tpu.engine:VideoLDM",
     "vtdm.vtdm_gen_stage2_degradeImage.VideoLDM": "hi3d_tpu.engine:VideoLDMStage2",

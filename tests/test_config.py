@@ -82,3 +82,43 @@ def test_instantiate_hi3d_target_names():
         {"target": "hi3d_tpu.diffusion.scaling.EDMScaling", "params": {"sigma_data": 1.0}}
     )
     assert obj.sigma_data == 1.0
+
+
+def test_aux_embedder_aliases_resolve():
+    from hi3d_tpu import registry
+
+    for name in [
+        "sgm.modules.encoders.modules.IdentityEncoder",
+        "sgm.modules.encoders.modules.ClassEmbedder",
+        "sgm.modules.encoders.modules.SpatialRescaler",
+        "sgm.modules.encoders.modules.FrozenT5Embedder",
+        "sgm.models.autoencoder.AutoencodingEngine",
+        "sgm.modules.autoencoding.temporal_ae.VideoDecoder",
+        "sgm.modules.diffusionmodules.sampling.DPMPP2SAncestralSampler",
+        "sgm.modules.diffusionmodules.sampling.LinearMultistepSampler",
+        "sgm.modules.autoencoding.lpips.loss.lpips.LPIPS",
+    ]:
+        assert registry.resolve(name) is not None, name
+
+
+def test_class_embedder_and_rescaler():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hi3d_tpu.conditioners import ClassEmbedder, SpatialRescaler
+
+    emb = ClassEmbedder(16, n_classes=10)
+    emb.input_key = "cls"
+    emb.init_params(jax.random.PRNGKey(0))
+    out = emb(jnp.asarray([0, 9]))
+    assert out.shape == (2, 16)
+    uc = emb.get_unconditional_conditioning(3)
+    assert int(uc["cls"][0]) == 9
+
+    resc = SpatialRescaler(n_stages=2, multiplier=0.5)
+    out = resc(jnp.ones((1, 32, 32, 3)))
+    assert out.shape == (1, 8, 8, 3)
+    vid = SpatialRescaler(n_stages=1, multiplier=0.5, wrap_video=True)
+    out = vid(jnp.ones((2, 4, 16, 16, 3)))
+    assert out.shape == (2, 4, 8, 8, 3)
