@@ -14,4 +14,15 @@ resolve to hi3d_tpu classes via `hi3d_tpu.registry`.
 
 __version__ = "0.1.0"
 
-from .config import instantiate_from_config, load_config  # noqa: F401
+from .config import (  # noqa: F401
+    apply_dotlist,
+    instantiate_from_config,
+    load_config,
+)
+
+
+def create_model(config_path, overrides=None):
+    """vtdm.model.create_model parity — see hi3d_tpu.pipelines.common."""
+    from .pipelines.common import create_model as _create
+
+    return _create(config_path, overrides)

@@ -257,6 +257,9 @@ class VideoPredictionEmbedderWithEncoder(AbstractEmbedder):
             raise NotImplementedError("sigma_cond not used by Hi3D")
         self.is_ae = is_ae
         self.scale_factor = float(scale_factor)
+        # chunked encode (reference accepts but ignores this on an 80 GB
+        # card; at 16×1024² the fp32 encoder's first conv alone is 8 GB)
+        self.en_chunk = en_and_decode_n_samples_a_time
 
     def init_params(self, rng):
         if getattr(self.encoder, "params", None) is None:
@@ -272,7 +275,17 @@ class VideoPredictionEmbedderWithEncoder(AbstractEmbedder):
                 sigmas, vid.ndim
             ).astype(vid.dtype)
 
-        z = self.encoder.encode(vid)  # (B·T, h, w, c), deterministic mode
+        n = self.en_chunk or vid.shape[0]
+        if n >= vid.shape[0]:
+            z = self.encoder.encode(vid)  # (B·T, h, w, c), deterministic mode
+        else:
+            z = jnp.concatenate(
+                [
+                    self.encoder.encode(vid[i : i + n])
+                    for i in range(0, vid.shape[0], n)
+                ],
+                axis=0,
+            )
         z = z * self.scale_factor
 
         bt, h, w, c = z.shape

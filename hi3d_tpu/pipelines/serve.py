@@ -2,10 +2,16 @@
 
 BASELINE config 5: "Batched serving: 8 concurrent assets on v5e-8 with
 sharded UNet denoiser + tiled VAE decode." The reference has no serving mode
-(one asset per CLI run); this is the TPU-native scale-out: the asset batch is
-sharded along the mesh "data" axis, every UNet/VAE call runs SPMD with zero
-cross-device communication (embarrassingly parallel over assets), and each
-chip denoises its local assets' CFG-doubled 16-frame batch.
+(one asset per CLI run); this is the TPU-native scale-out:
+
+- **throughput mode** (B ≥ n_chips): the asset batch is sharded along the
+  mesh "data" axis — embarrassingly parallel, zero cross-device
+  communication; each chip denoises its local assets' CFG-doubled 16-frame
+  batch.
+- **latency mode** (B < n_chips): the FRAME axis shards instead (B·T over
+  "data"). Spatial attention and convs stay chip-local; only the temporal
+  attention's (B·T) → (B·S, T) regroup crosses chips, which XLA lowers to
+  all-to-alls over ICI — the single-asset <60 s path on a v5e-8.
 """
 
 from __future__ import annotations
@@ -48,8 +54,10 @@ class OrbitServer:
         b, h, w, _ = images.shape
         t = model.num_samples
         n = self.mesh.shape["data"]
-        if b % n:
-            raise ValueError(f"batch {b} not divisible by data axis {n}")
+        if (b * t) % n:
+            raise ValueError(
+                f"batch×frames {b}·{t} not divisible by data axis {n}"
+            )
         if rng is None:
             rng = model.next_rng()
         r_custom, r_sample = jax.random.split(rng)
