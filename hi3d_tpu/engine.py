@@ -164,6 +164,38 @@ class DiffusionEngine:
 
         load_engine_params(self, path)
 
+    def cast_weights_to_compute_dtype(self, include_towers: bool = True) -> None:
+        """Inference-time weight cast — the reference CLIs run the whole model
+        `.half()` (pipeline_i2v_eval_v01.py:52). Casts the UNet params (and
+        optionally the frozen conditioner towers) to `compute_dtype`; the VAE
+        stays fp32 (`disable_first_stage_autocast` parity). Do NOT call when
+        training — the optimizer wants fp32 master params."""
+        dt = self.compute_dtype
+        if dt == jnp.float32:
+            return
+
+        def cast(tree):
+            return jax.tree.map(
+                lambda p: p.astype(dt)
+                if hasattr(p, "dtype") and p.dtype == jnp.float32
+                else p,
+                tree,
+            )
+
+        if self.params is not None:
+            self.params = cast(self.params)
+        if self.ema_params is not None:
+            self.ema_params = cast(self.ema_params)
+        if include_towers and self.conditioner is not None:
+            for emb in self.conditioner.embedders:
+                for attr in ("params", "clip_params", "mlp_params"):
+                    v = getattr(emb, attr, None)
+                    if v is not None:
+                        setattr(emb, attr, cast(v))
+                clip = getattr(emb, "open_clip", None)
+                if clip is not None and getattr(clip, "params", None) is not None:
+                    clip.params = cast(clip.params)
+
     # ------------------------------------------------------------ first stage
     def _chunked(self, fn, x: jax.Array) -> jax.Array:
         n = self.en_and_decode_n_samples_a_time or x.shape[0]

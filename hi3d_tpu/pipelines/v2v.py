@@ -176,6 +176,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     else:
         print(f"[v2v] checkpoint {args.denoise_checkpoint!r} not found — "
               "running with random weights (smoke mode)")
+    model.cast_weights_to_compute_dtype()  # inference .half() parity
     print(f"[v2v] model ready in {time.time() - t0:.1f}s")
 
     t0 = time.time()
