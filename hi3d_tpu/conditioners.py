@@ -196,7 +196,7 @@ class FrozenOpenCLIPImageEmbedder(AbstractEmbedder):
             self.params = load_open_clip_visual(self.version)
         if self.params is None:
             x = jnp.zeros((1, 224, 224, 3))
-            self.params = self.module.init(rng, x)
+            self.params = jax.jit(self.module.init)(rng, x)
 
     def preprocess(self, x: jax.Array) -> jax.Array:
         x = resize_bicubic(x, (224, 224))
@@ -329,9 +329,11 @@ class AesEmbedder(AbstractEmbedder):
             self.mlp_params = load_aesthetic_mlp(self.mlp_path)
         r1, r2 = jax.random.split(rng)
         if self.clip_params is None:
-            self.clip_params = self.clip.init(r1, jnp.zeros((1, 224, 224, 3)))
+            self.clip_params = jax.jit(self.clip.init)(
+                r1, jnp.zeros((1, 224, 224, 3))
+            )
         if self.mlp_params is None:
-            self.mlp_params = self.mlp.init(r2, jnp.zeros((1, 768)))
+            self.mlp_params = jax.jit(self.mlp.init)(r2, jnp.zeros((1, 768)))
 
     def __call__(self, video, rng=None) -> jax.Array:
         # video: (B, T, H, W, C) in [-1, 1]; middle frame, 224×384 bilinear,
@@ -380,7 +382,9 @@ class DepthEmbedder(AbstractEmbedder):
 
             self.params = load_dpt_params(self.model_path)
         if self.params is None:
-            self.params = self.model.init(rng, jnp.zeros((1, 384, 384, 3)))
+            self.params = jax.jit(self.model.init)(
+                rng, jnp.zeros((1, 384, 384, 3))
+            )
 
     def __call__(self, x, rng=None) -> jax.Array:
         # x: (B·T, H, W, 3) or (B, T, H, W, 3) in [-1, 1]

@@ -147,10 +147,9 @@ class DiffusionEngine:
         ctx = jnp.zeros((1, 1, ctx_dim), dtype=self.compute_dtype)
         y = jnp.zeros((1, adm), dtype=self.compute_dtype)
         ind = jnp.zeros((1, t))
-        self.params = self.model.init(
-            r_net, x, ts, context=ctx, y=y, num_video_frames=t,
-            image_only_indicator=ind,
-        )
+        self.params = jax.jit(
+            functools.partial(self.model.init, num_video_frames=t)
+        )(r_net, x, ts, context=ctx, y=y, image_only_indicator=ind)
         if getattr(self.first_stage_model, "params", None) is None:
             self.first_stage_model.init(
                 r_vae, image_hw=default(image_hw, (64, 64))
