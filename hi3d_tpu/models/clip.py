@@ -56,6 +56,7 @@ class _MHA(nn.Module):
     """CLIP-style multi-head self-attention with packed qkv projection."""
 
     heads: int
+    causal: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -70,7 +71,11 @@ class _MHA(nn.Module):
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         )
-        probs = jax.nn.softmax(logits.astype(jnp.float32) * (d**-0.5), axis=-1)
+        logits = logits.astype(jnp.float32) * (d**-0.5)
+        if self.causal:
+            mask = jnp.tril(jnp.ones((s, s), bool))
+            logits = jnp.where(mask, logits, -jnp.inf)
+        probs = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum(
             "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
@@ -81,6 +86,7 @@ class _MHA(nn.Module):
 class _ResBlock(nn.Module):
     heads: int
     quick_gelu: bool = False
+    causal: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -88,7 +94,9 @@ class _ResBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(
             x.astype(jnp.float32)
         ).astype(x.dtype)
-        x = x + _MHA(self.heads, dtype=self.dtype, name="attn")(h)
+        x = x + _MHA(
+            self.heads, causal=self.causal, dtype=self.dtype, name="attn"
+        )(h)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(
             x.astype(jnp.float32)
         ).astype(x.dtype)
@@ -191,3 +199,67 @@ class AestheticMLP(nn.Module):
         for i, width in enumerate([1024, 128, 64, 16, 1]):
             x = nn.Dense(width, dtype=self.dtype, name=f"layers_{i}")(x)
         return x
+
+
+class CLIPTextTransformer(nn.Module):
+    """CLIP/OpenCLIP text tower (causal pre-LN transformer).
+
+    Inputs are token ids (B, L) — BPE tokenization is host-side (the vocab
+    ships with the open_clip/clip packages, not this repo). Returns
+    (pooled (B, proj), tokens (B, L, width)); `pooled` reads the EOT position
+    (argmax of ids, CLIP convention) through ln_final and text_projection.
+    """
+
+    vocab_size: int = 49408
+    width: int = 1024
+    layers: int = 24
+    heads: int = 16
+    context_length: int = 77
+    proj_dim: int = 1024
+    quick_gelu: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids: jax.Array):
+        b, s = ids.shape
+        tok = self.param(
+            "token_embedding",
+            nn.initializers.normal(0.02),
+            (self.vocab_size, self.width),
+        )
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (self.context_length, self.width),
+        )
+        x = tok[ids].astype(self.dtype) + pos[:s].astype(self.dtype)
+        for i in range(self.layers):
+            x = _ResBlock(
+                self.heads, quick_gelu=self.quick_gelu, causal=True,
+                dtype=self.dtype, name=f"resblocks_{i}",
+            )(x)
+        tokens = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(
+            x.astype(jnp.float32)
+        ).astype(x.dtype)
+        proj = self.param(
+            "text_projection",
+            nn.initializers.normal(self.width**-0.5),
+            (self.width, self.proj_dim),
+        )
+        eot = jnp.argmax(ids, axis=-1)
+        pooled = x[jnp.arange(b), eot] @ proj.astype(x.dtype)
+        return pooled, tokens
+
+
+def text_vit_h_14(dtype=jnp.float32) -> CLIPTextTransformer:
+    """OpenCLIP ViT-H/14 text tower (width 1024, 24 layers)."""
+    return CLIPTextTransformer(dtype=dtype)
+
+
+def text_vit_l_14(dtype=jnp.float32) -> CLIPTextTransformer:
+    """OpenAI CLIP ViT-L/14 text tower (width 768, 12 layers, quickGELU)."""
+    return CLIPTextTransformer(
+        width=768, layers=12, heads=12, proj_dim=768, quick_gelu=True,
+        dtype=dtype,
+    )

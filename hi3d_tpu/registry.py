@@ -61,6 +61,8 @@ _ALIASES: Dict[str, str] = {
     "sgm.modules.encoders.modules.VideoPredictionEmbedderWithEncoder": "hi3d_tpu.conditioners:VideoPredictionEmbedderWithEncoder",
     "vtdm.encoders.AesEmbedder": "hi3d_tpu.conditioners:AesEmbedder",
     "vtdm.encoders.DepthEmbedder": "hi3d_tpu.conditioners:DepthEmbedder",
+    "sgm.modules.encoders.modules.FrozenOpenCLIPEmbedder": "hi3d_tpu.conditioners:FrozenOpenCLIPEmbedder",
+    "sgm.modules.encoders.modules.FrozenOpenCLIPEmbedder2": "hi3d_tpu.conditioners:FrozenOpenCLIPEmbedder",
     "sgm.modules.encoders.modules.IdentityEncoder": "hi3d_tpu.conditioners:IdentityEncoder",
     "sgm.modules.encoders.modules.ClassEmbedder": "hi3d_tpu.conditioners:ClassEmbedder",
     "sgm.modules.encoders.modules.SpatialRescaler": "hi3d_tpu.conditioners:SpatialRescaler",

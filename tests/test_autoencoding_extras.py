@@ -75,3 +75,36 @@ def test_lpips_key_conversion():
     assert convert_lpips_key("features.0.weight") == ("net", "conv0")
     assert convert_lpips_key("features.28.bias") == ("net", "conv28")
     assert convert_lpips_key("net.slice1.0.weight") is None
+
+
+def test_clip_text_tower_causal_and_pooled():
+    from hi3d_tpu.models.clip import CLIPTextTransformer
+
+    m = CLIPTextTransformer(
+        vocab_size=64, width=16, layers=2, heads=2, proj_dim=8,
+        context_length=8,
+    )
+    ids = jnp.asarray([[1, 5, 3, 63, 0, 0, 0, 0]])  # EOT = argmax at pos 3
+    params = m.init(jax.random.PRNGKey(0), ids)
+    pooled, toks = m.apply(params, ids)
+    assert pooled.shape == (1, 8) and toks.shape == (1, 8, 16)
+
+    # causality: changing a FUTURE token must not change earlier hiddens
+    ids2 = ids.at[0, 6].set(9)
+    _, toks2 = m.apply(params, ids2)
+    np.testing.assert_allclose(
+        np.asarray(toks[0, :6]), np.asarray(toks2[0, :6]), rtol=1e-5
+    )
+    assert float(np.abs(np.asarray(toks[0, 6:]) - np.asarray(toks2[0, 6:])).max()) > 0
+
+
+def test_clip_text_key_conversion():
+    from hi3d_tpu.convert.torch_to_jax import convert_clip_text_key
+
+    assert convert_clip_text_key("token_embedding.weight") == ("_embed_",)
+    assert convert_clip_text_key("positional_embedding") == ("_self_",)
+    assert convert_clip_text_key("text_projection") == ("_self_",)
+    assert convert_clip_text_key(
+        "transformer.resblocks.3.attn.in_proj_weight"
+    ) == ("resblocks_3", "attn", "in_proj")
+    assert convert_clip_text_key("visual.conv1.weight") is None
