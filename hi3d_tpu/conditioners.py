@@ -85,9 +85,14 @@ class GeneralConditioner:
                 )
             embedder.is_trainable = bool(embconfig.get("is_trainable", False))
             embedder.ucg_rate = float(embconfig.get("ucg_rate", 0.0))
-            if "input_key" not in embconfig:
-                raise KeyError(f"embedder #{n} needs 'input_key'")
-            embedder.input_key = embconfig["input_key"]
+            if "input_key" in embconfig:
+                embedder.input_key = embconfig["input_key"]
+            elif "input_keys" in embconfig:
+                # multi-input embedders (reference modules.py:133-134)
+                embedder.input_key = None
+                embedder.input_keys = list(embconfig["input_keys"])
+            else:
+                raise KeyError(f"embedder #{n} needs 'input_key(s)'")
             rng, sub = jax.random.split(rng)
             embedder.init_params(sub)
             self.embedders.append(embedder)
@@ -106,7 +111,12 @@ class GeneralConditioner:
                 rng, emb_rng, ucg_rng = jax.random.split(rng, 3)
             else:
                 emb_rng = ucg_rng = None
-            emb_out = embedder(batch[embedder.input_key], rng=emb_rng)
+            if embedder.input_key is not None:
+                emb_out = embedder(batch[embedder.input_key], rng=emb_rng)
+            else:
+                emb_out = embedder(
+                    *[batch[k] for k in embedder.input_keys], rng=emb_rng
+                )
             if not isinstance(emb_out, (list, tuple)):
                 emb_out = [emb_out]
             for emb in emb_out:
