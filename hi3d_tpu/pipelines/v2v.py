@@ -40,12 +40,20 @@ from .i2v import UC_ZERO_KEYS
 ALPHA_POW = 40.0
 
 
+def _largest_divisor_at_most(n: int, cap: int) -> int:
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
 def blend_refine(
     model,
     frames: np.ndarray,
     masks: Optional[np.ndarray] = None,
     elevation: float = 0.0,
     rng: Optional[jax.Array] = None,
+    steps_per_launch: Optional[int] = 8,
 ) -> np.ndarray:
     """frames (T, H, W, 3) in [-1,1] → refined (T, H, W, 3) in [-1,1]."""
     t = model.num_samples
@@ -94,7 +102,20 @@ def blend_refine(
         ).astype(jnp.float32)
         return lat, None
 
-    latents, _ = jax.lax.scan(body, latents, jnp.arange(num_sigmas - 1))
+    # the 25-step 1024² scan runs >60 s of device time in one executable,
+    # which trips single-launch watchdogs; split it into several launches of
+    # ONE compiled segment (the step indices are a traced argument)
+    n = num_sigmas - 1
+    chunk = _largest_divisor_at_most(n, steps_per_launch or n)
+    idx = jnp.arange(n)
+
+    @jax.jit
+    def run_segment(lat, seg_idx):
+        lat, _ = jax.lax.scan(body, lat, seg_idx)
+        return lat
+
+    for s0 in range(0, n, chunk):
+        latents = run_segment(latents, idx[s0 : s0 + chunk])
     decoded = model.decode_first_stage(latents.astype(dtype))
     return np.asarray(jnp.clip(decoded, -1.0, 1.0), dtype=np.float32)
 
