@@ -14,6 +14,23 @@ resolve to hi3d_tpu classes via `hi3d_tpu.registry`.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# persistent XLA compilation cache: the 320-channel UNet programs take
+# minutes to compile; caching them across processes turns pipeline cold
+# starts into warm starts. Opt out with HI3D_COMP_CACHE=0.
+if _os.environ.get("HI3D_COMP_CACHE", "1") != "0":
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "HI3D_COMP_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "hi3d_tpu_xla"),
+        ),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 from .config import (  # noqa: F401
     apply_dotlist,
     instantiate_from_config,
