@@ -69,11 +69,16 @@ class BaseDiffusionSampler:
         guider_config: Optional[Dict] = None,
         verbose: bool = False,
         device: Optional[str] = None,  # accepted for config parity; unused
+        steps_per_launch: Optional[int] = None,
     ):
         self.num_steps = num_steps
         self.discretization = instantiate_from_config(discretization_config)
         self.guider = instantiate_from_config(default(guider_config, DEFAULT_GUIDER))
         self.verbose = verbose
+        # split the scan into several launches of one compiled segment when a
+        # single execution would exceed runtime watchdogs (large batches or
+        # 1024² latents can push one 25-step launch past ~60 s device time)
+        self.steps_per_launch = steps_per_launch
 
     def prepare_sampling_loop(self, x, cond, uc=None, num_steps=None):
         sigmas = self.discretization(
@@ -204,9 +209,22 @@ class EDMSampler(SingleStepDiffusionSampler):
             )
             return out, None
 
-        x, _ = lax.scan(
-            body, x, (sigmas[:-1], sigmas[1:], jnp.asarray(gammas), step_rngs)
-        )
+        xs = (sigmas[:-1], sigmas[1:], jnp.asarray(gammas), step_rngs)
+        chunk = self.steps_per_launch
+        if not chunk or chunk >= n:
+            x, _ = lax.scan(body, x, xs)
+            return x
+
+        @jax.jit
+        def run_segment(x, seg):
+            out, _ = lax.scan(body, x, seg)
+            return out
+
+        # equal-size segments reuse ONE compiled executable; remainder (if
+        # any) compiles once more
+        for s0 in range(0, n, chunk):
+            seg = jax.tree.map(lambda v: v[s0 : s0 + chunk], xs)
+            x = run_segment(x, seg)
         return x
 
 

@@ -227,3 +227,17 @@ def test_linear_multistep_matches_python():
         coeffs = [lms_coeff(cur, sig, i, j) for j in range(cur)]
         x = x + sum(c * dd for c, dd in zip(coeffs, reversed(ds)))
     np.testing.assert_allclose(np.asarray(out), x, rtol=5e-4, atol=5e-4)
+
+
+def test_steps_per_launch_matches_single_scan():
+    """Chunked multi-launch sampling must equal the fused scan exactly."""
+    kw = dict(num_steps=7, discretization_config=DISC)
+    x0 = jax.random.normal(jax.random.PRNGKey(4), (2, 4, 8, 8))
+    full = EulerEDMSampler(**kw)(toy_denoiser, x0, cond={}, uc=None,
+                                 rng=jax.random.PRNGKey(1))
+    chunked = EulerEDMSampler(steps_per_launch=3, **kw)(
+        toy_denoiser, x0, cond={}, uc=None, rng=jax.random.PRNGKey(1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(chunked), rtol=1e-6, atol=1e-7
+    )
