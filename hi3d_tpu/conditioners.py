@@ -563,12 +563,15 @@ class FrozenT5Embedder(AbstractEmbedder):
 
 
 class FrozenOpenCLIPEmbedder(AbstractEmbedder):
-    """OpenCLIP TEXT encoder (reference modules.py:432-526; unused by Hi3D).
+    """OpenCLIP TEXT encoder (reference modules.py:498-568; unused by Hi3D).
 
     Accepts pre-tokenized int ids (B, 77) — BPE runs host-side via open_clip /
     transformers when installed; this environment ships neither, so raw
-    strings raise with a pointer. `layer` picks pooled ("pooled"), final
-    ("last") or penultimate hidden states.
+    strings raise with a pointer. `layer` picks the reference's taps: "last" =
+    ln_final(block[-1]) and "penultimate" = ln_final(block[-2]) (reference
+    encode_with_transformer applies ln_final after the truncated stack,
+    modules.py:547-564); "pooled" additionally exposes the projected EOT
+    embedding (FrozenOpenCLIPEmbedder2 semantics, modules.py:396-495).
     """
 
     LAYERS = ("last", "penultimate", "pooled")
@@ -591,7 +594,7 @@ class FrozenOpenCLIPEmbedder(AbstractEmbedder):
             raise ValueError(f"layer {layer!r}")
         if arch != "ViT-H-14":
             raise NotImplementedError(f"arch {arch}")
-        self.module = text_vit_h_14(dtype=dtype)
+        self.module = text_vit_h_14(dtype=dtype, output_hidden=True)
         self.layer = layer
         self.max_length = int(max_length)
         self.return_pooled = always_return_pooled
@@ -609,6 +612,14 @@ class FrozenOpenCLIPEmbedder(AbstractEmbedder):
             ids = jnp.zeros((1, self.max_length), jnp.int32)
             self.params = jax.jit(self.module.init)(rng, ids)
 
+    def _ln_final(self, x: jax.Array) -> jax.Array:
+        import flax.linen as nn
+
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32).apply(
+            {"params": self.params["params"]["ln_final"]},
+            x.astype(jnp.float32),
+        ).astype(x.dtype)
+
     def __call__(self, text, rng=None):
         if isinstance(text, (list, tuple)) and text and isinstance(text[0], str):
             raise NotImplementedError(
@@ -616,11 +627,255 @@ class FrozenOpenCLIPEmbedder(AbstractEmbedder):
                 "bundled); pass pre-tokenized int32 ids of shape (B, 77)"
             )
         ids = jnp.asarray(text, jnp.int32)
-        pooled, tokens = self.module.apply(self.params, ids)
+        pooled, _, extras = self.module.apply(self.params, ids)
         if self.layer == "pooled":
             out = pooled
-        else:
-            out = tokens  # "last"; penultimate would need a tap — see note
+        elif self.layer == "last":
+            out = extras["final"]
+        else:  # penultimate: ln_final over the stack truncated by one block
+            out = self._ln_final(extras["hidden"][-2])
         if self.return_pooled:
             return out, pooled
         return out
+
+
+class FrozenCLIPEmbedder(AbstractEmbedder):
+    """OpenAI CLIP text encoder, huggingface semantics (reference
+    modules.py:331-393; unused by Hi3D).
+
+    `layer`: "last" = final_layer_norm'd last hidden state; "pooled" = that
+    sequence at the EOT position, unprojected, with a length-1 sequence axis
+    (hf CLIPTextModel.pooler_output); "hidden" = raw hidden_states[layer_idx]
+    where index 0 is the embedding output (hf output_hidden_states indexing).
+    Accepts pre-tokenized int32 ids (B, 77); raw strings need the CLIP BPE
+    vocab, which is not bundled.
+    """
+
+    LAYERS = ("last", "pooled", "hidden")
+
+    def __init__(
+        self,
+        version: str = "openai/clip-vit-large-patch14",
+        max_length: int = 77,
+        freeze: bool = True,
+        layer: str = "last",
+        layer_idx: Optional[int] = None,
+        always_return_pooled: bool = False,
+        dtype=jnp.float32,
+        **_unused,
+    ):
+        from .models.clip import text_vit_l_14
+
+        if layer not in self.LAYERS:
+            raise ValueError(f"layer {layer!r}")
+        if layer == "hidden":
+            if layer_idx is None or not (0 <= abs(layer_idx) <= 12):
+                raise ValueError("layer='hidden' needs layer_idx in [-12, 12]")
+        self.module = text_vit_l_14(dtype=dtype, output_hidden=True)
+        self.layer = layer
+        self.layer_idx = layer_idx
+        self.max_length = int(max_length)
+        self.return_pooled = always_return_pooled
+        self.version = version
+        self.params = None
+
+    def init_params(self, rng):
+        import os
+
+        if self.params is None and self.version and os.path.exists(self.version):
+            from .convert.torch_to_jax import load_clip_jit_text
+
+            self.params = load_clip_jit_text(self.version)
+        if self.params is None:
+            ids = jnp.zeros((1, self.max_length), jnp.int32)
+            self.params = jax.jit(self.module.init)(rng, ids)
+
+    def __call__(self, text, rng=None):
+        if isinstance(text, (list, tuple)) and text and isinstance(text[0], str):
+            raise NotImplementedError(
+                "raw-text tokenization needs the CLIP BPE vocab (not "
+                "bundled); pass pre-tokenized int32 ids of shape (B, 77)"
+            )
+        ids = jnp.asarray(text, jnp.int32)
+        _, _, extras = self.module.apply(self.params, ids)
+        final = extras["final"]  # (B, L, D), post final-layer-norm
+        eot = jnp.argmax(ids, axis=-1)
+        pooler = final[jnp.arange(final.shape[0]), eot]  # unprojected EOT
+        if self.layer == "last":
+            out = final
+        elif self.layer == "pooled":
+            out = pooler[:, None, :]
+        else:
+            out = extras["hidden"][self.layer_idx]
+        if self.return_pooled:
+            return out, pooler
+        return out
+
+
+class FrozenByT5Embedder(AbstractEmbedder):
+    """Character-aware ByT5 text encoder (reference modules.py:289-328).
+
+    ByT5 tokenization is byte-level and vocabulary-free (utf-8 byte + 3,
+    eos=1, pad=0), so it is done inline on host; the encoder itself loads via
+    transformers' flax T5 weights.
+    """
+
+    def __init__(self, version: str = "google/byt5-base", max_length: int = 77,
+                 freeze: bool = True, **_unused):
+        self.version = version
+        self.max_length = int(max_length)
+        self._model = None
+
+    def _lazy(self):
+        if self._model is None:
+            from transformers import FlaxT5EncoderModel
+
+            self._model = FlaxT5EncoderModel.from_pretrained(
+                self.version, dtype=jnp.float32
+            )
+        return self._model
+
+    def tokenize(self, texts: Sequence[str]) -> np.ndarray:
+        ids = np.zeros((len(texts), self.max_length), np.int32)  # pad = 0
+        for i, t in enumerate(texts):
+            raw = list(t.encode("utf-8"))[: self.max_length - 1]
+            row = [b + 3 for b in raw] + [1]  # +3 special offset, eos = 1
+            ids[i, : len(row)] = row
+        return ids
+
+    def __call__(self, text, rng=None):
+        if isinstance(text, (list, tuple)) and text and isinstance(text[0], str):
+            ids = self.tokenize(list(text))
+        else:
+            ids = np.asarray(text, np.int32)
+        out = self._lazy()(input_ids=jnp.asarray(ids))
+        return out.last_hidden_state
+
+
+class FrozenCLIPT5Encoder(AbstractEmbedder):
+    """CLIP + T5 dual text encoding, returned as a list so GeneralConditioner
+    concatenates both onto crossattn (reference modules.py:731-757)."""
+
+    def __init__(
+        self,
+        clip_version: str = "openai/clip-vit-large-patch14",
+        t5_version: str = "google/t5-v1_1-xl",
+        clip_max_length: int = 77,
+        t5_max_length: int = 77,
+        **_unused,
+    ):
+        self.clip_encoder = FrozenCLIPEmbedder(
+            clip_version, max_length=clip_max_length
+        )
+        self.t5_encoder = FrozenT5Embedder(t5_version, max_length=t5_max_length)
+
+    def init_params(self, rng):
+        self.clip_encoder.init_params(rng)
+
+    def __call__(self, text, rng=None):
+        return [self.clip_encoder(text), self.t5_encoder(text)]
+
+
+class ClassEmbedderForMultiCond(ClassEmbedder):
+    """modules.py:237-246 — ClassEmbedder that tolerates list-wrapped batch
+    values, embedding the first entry and re-wrapping."""
+
+    def __call__(self, c, rng=None):
+        islist = isinstance(c, list)
+        out = super().__call__(c[0] if islist else c, rng=rng)
+        return [out] if islist else out
+
+
+class LowScaleEncoder(AbstractEmbedder):
+    """modules.py:819-911 — encodes with a first-stage model, scales, then
+    DDPM-noise-augments with a random timestep in [0, max_noise_level) and
+    returns (noised latent, noise_level) — both routed by rank (concat +
+    vector is the upstream usage)."""
+
+    def __init__(
+        self,
+        model_config: Dict,
+        linear_start: float,
+        linear_end: float,
+        timesteps: int = 1000,
+        max_noise_level: int = 250,
+        output_size: Optional[int] = 64,
+        scale_factor: float = 1.0,
+        **_unused,
+    ):
+        from .diffusion.discretization import make_beta_schedule
+
+        self.model = instantiate_from_config(model_config)
+        self.max_noise_level = int(max_noise_level)
+        self.out_size = output_size
+        self.scale_factor = float(scale_factor)
+        betas = make_beta_schedule(
+            "linear", timesteps, linear_start=linear_start, linear_end=linear_end
+        )
+        alphas_cumprod = np.cumprod(1.0 - betas, axis=0)
+        self.sqrt_alphas_cumprod = jnp.asarray(
+            np.sqrt(alphas_cumprod), jnp.float32
+        )
+        self.sqrt_one_minus_alphas_cumprod = jnp.asarray(
+            np.sqrt(1.0 - alphas_cumprod), jnp.float32
+        )
+
+    def init_params(self, rng):
+        if getattr(self.model, "params", "absent") is None and hasattr(
+            self.model, "init"
+        ):
+            self.model.init(rng)
+
+    def q_sample(self, x0: jax.Array, t: jax.Array, noise: jax.Array) -> jax.Array:
+        a = append_dims(self.sqrt_alphas_cumprod[t], x0.ndim)
+        s = append_dims(self.sqrt_one_minus_alphas_cumprod[t], x0.ndim)
+        return a * x0 + s * noise
+
+    def __call__(self, x, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        r_enc, r_t, r_n = jax.random.split(rng, 3)
+        z = self.model.encode(x, rng=r_enc)
+        z = z * self.scale_factor
+        t = jax.random.randint(r_t, (x.shape[0],), 0, self.max_noise_level)
+        z = self.q_sample(z, t, jax.random.normal(r_n, z.shape, z.dtype))
+        if self.out_size is not None:
+            b, _, _, c = z.shape
+            z = jax.image.resize(
+                z, (b, self.out_size, self.out_size, c), "nearest"
+            )
+        return [z, t.astype(jnp.float32)[:, None]]
+
+    def decode(self, z: jax.Array) -> jax.Array:
+        return self.model.decode(z / self.scale_factor)
+
+
+class GaussianEncoder(AbstractEmbedder):
+    """modules.py:932-948 — conv Encoder + diagonal-Gaussian sample, returning
+    (kl log dict, flattened latent tokens)."""
+
+    def __init__(self, weight: float = 1.0, flatten_output: bool = True, **ddkw):
+        from .models.vae import Encoder
+        from .models.autoencoding import DiagonalGaussianRegularizer
+
+        self.module = Encoder(**ddkw)
+        self.posterior = DiagonalGaussianRegularizer()
+        self.weight = float(weight)
+        self.flatten_output = flatten_output
+        self.params = None
+        self._in_ch = ddkw.get("in_channels", 3)
+
+    def init_params(self, rng):
+        if self.params is None:
+            x = jnp.zeros((1, 32, 32, self._in_ch))
+            self.params = jax.jit(self.module.init)(rng, x)
+
+    def __call__(self, x, rng=None):
+        moments = self.module.apply(self.params, jnp.asarray(x))
+        z, log = self.posterior(moments, rng=rng)
+        log = dict(log)
+        log["loss"] = log["kl_loss"]
+        log["weight"] = self.weight
+        if self.flatten_output:
+            b, h, w, c = z.shape
+            z = z.reshape(b, h * w, c)
+        return log, z

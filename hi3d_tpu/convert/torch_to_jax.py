@@ -596,3 +596,23 @@ def load_open_clip_text(path: str) -> Dict:
     }
     converted = convert_state_dict(text, convert_clip_text_key)
     return converted
+
+
+def load_clip_jit_text(path: str) -> Dict:
+    """OpenAI CLIP TorchScript archive (ViT-L-14.pt) → TEXT-tower flax params.
+
+    The jit state dict uses the same top-level text-tower names as open_clip
+    (token_embedding / positional_embedding / transformer.resblocks.* /
+    ln_final / text_projection), so it shares convert_clip_text_key.
+    """
+    import torch
+
+    try:
+        model = torch.jit.load(path, map_location="cpu")
+        sd = {k: _to_np(v) for k, v in model.state_dict().items()}
+    except RuntimeError:
+        sd = load_torch_state_dict(path)
+    drop = ("visual.", "logit_scale", "input_resolution", "context_length",
+            "vocab_size")
+    text = {k: v for k, v in sd.items() if not k.startswith(drop)}
+    return convert_state_dict(text, convert_clip_text_key)

@@ -217,6 +217,7 @@ class CLIPTextTransformer(nn.Module):
     context_length: int = 77
     proj_dim: int = 1024
     quick_gelu: bool = False
+    output_hidden: bool = False  # also return per-layer states + ln_final'd seq
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -233,11 +234,13 @@ class CLIPTextTransformer(nn.Module):
             (self.context_length, self.width),
         )
         x = tok[ids].astype(self.dtype) + pos[:s].astype(self.dtype)
+        hidden = [x]  # hidden[0] = embeddings; hidden[i] = after block i
         for i in range(self.layers):
             x = _ResBlock(
                 self.heads, quick_gelu=self.quick_gelu, causal=True,
                 dtype=self.dtype, name=f"resblocks_{i}",
             )(x)
+            hidden.append(x)
         tokens = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(
             x.astype(jnp.float32)
@@ -249,17 +252,19 @@ class CLIPTextTransformer(nn.Module):
         )
         eot = jnp.argmax(ids, axis=-1)
         pooled = x[jnp.arange(b), eot] @ proj.astype(x.dtype)
+        if self.output_hidden:
+            return pooled, tokens, {"hidden": tuple(hidden), "final": x}
         return pooled, tokens
 
 
-def text_vit_h_14(dtype=jnp.float32) -> CLIPTextTransformer:
+def text_vit_h_14(dtype=jnp.float32, **kw) -> CLIPTextTransformer:
     """OpenCLIP ViT-H/14 text tower (width 1024, 24 layers)."""
-    return CLIPTextTransformer(dtype=dtype)
+    return CLIPTextTransformer(dtype=dtype, **kw)
 
 
-def text_vit_l_14(dtype=jnp.float32) -> CLIPTextTransformer:
+def text_vit_l_14(dtype=jnp.float32, **kw) -> CLIPTextTransformer:
     """OpenAI CLIP ViT-L/14 text tower (width 768, 12 layers, quickGELU)."""
     return CLIPTextTransformer(
         width=768, layers=12, heads=12, proj_dim=768, quick_gelu=True,
-        dtype=dtype,
+        dtype=dtype, **kw,
     )

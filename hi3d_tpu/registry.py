@@ -50,6 +50,15 @@ _ALIASES: Dict[str, str] = {
     "sgm.models.autoencoder.AutoencodingEngineLegacy": "hi3d_tpu.models.autoencoding:AutoencodingEngine",
     "sgm.modules.autoencoding.regularizers.DiagonalGaussianRegularizer": "hi3d_tpu.models.autoencoding:DiagonalGaussianRegularizer",
     "sgm.modules.autoencoding.lpips.loss.lpips.LPIPS": "hi3d_tpu.models.lpips:LPIPS",
+    "sgm.modules.autoencoding.lpips.model.model.NLayerDiscriminator": "hi3d_tpu.models.discriminator:NLayerDiscriminator",
+    "sgm.modules.autoencoding.losses.GeneralLPIPSWithDiscriminator": "hi3d_tpu.models.discriminator:GeneralLPIPSWithDiscriminator",
+    "sgm.modules.autoencoding.losses.discriminator_loss.GeneralLPIPSWithDiscriminator": "hi3d_tpu.models.discriminator:GeneralLPIPSWithDiscriminator",
+    "sgm.modules.autoencoding.losses.LatentLPIPS": "hi3d_tpu.models.discriminator:LatentLPIPS",
+    "sgm.modules.autoencoding.losses.lpips.LatentLPIPS": "hi3d_tpu.models.discriminator:LatentLPIPS",
+    "sgm.modules.autoencoding.regularizers.quantize.VectorQuantizer": "hi3d_tpu.models.quantizers:VectorQuantizer",
+    "sgm.modules.autoencoding.regularizers.quantize.GumbelQuantizer": "hi3d_tpu.models.quantizers:GumbelQuantizer",
+    "sgm.modules.autoencoding.regularizers.quantize.EMAVectorQuantizer": "hi3d_tpu.models.quantizers:EMAVectorQuantizer",
+    "sgm.modules.autoencoding.regularizers.quantize.VectorQuantizerWithInputProjection": "hi3d_tpu.models.quantizers:VectorQuantizerWithInputProjection",
     "sgm.modules.diffusionmodules.model.Encoder": "hi3d_tpu.models.vae:Encoder",
     "sgm.modules.diffusionmodules.model.Decoder": "hi3d_tpu.models.vae:Decoder",
     # --- conditioners ---
@@ -67,6 +76,13 @@ _ALIASES: Dict[str, str] = {
     "sgm.modules.encoders.modules.ClassEmbedder": "hi3d_tpu.conditioners:ClassEmbedder",
     "sgm.modules.encoders.modules.SpatialRescaler": "hi3d_tpu.conditioners:SpatialRescaler",
     "sgm.modules.encoders.modules.FrozenT5Embedder": "hi3d_tpu.conditioners:FrozenT5Embedder",
+    "sgm.modules.encoders.modules.FrozenByT5Embedder": "hi3d_tpu.conditioners:FrozenByT5Embedder",
+    "sgm.modules.encoders.modules.FrozenCLIPEmbedder": "hi3d_tpu.conditioners:FrozenCLIPEmbedder",
+    "sgm.modules.encoders.modules.FrozenCLIPT5Encoder": "hi3d_tpu.conditioners:FrozenCLIPT5Encoder",
+    "sgm.modules.encoders.modules.ClassEmbedderForMultiCond": "hi3d_tpu.conditioners:ClassEmbedderForMultiCond",
+    "sgm.modules.encoders.modules.LowScaleEncoder": "hi3d_tpu.conditioners:LowScaleEncoder",
+    "sgm.modules.encoders.modules.GaussianEncoder": "hi3d_tpu.conditioners:GaussianEncoder",
+    "sgm.modules.encoders.modules.InceptionV3": "hi3d_tpu.models.inception:InceptionV3",
     # --- task layer ---
     "vtdm.vtdm_gen_v01.VideoLDM": "hi3d_tpu.engine:VideoLDM",
     "vtdm.vtdm_gen_stage2_degradeImage.VideoLDM": "hi3d_tpu.engine:VideoLDMStage2",
