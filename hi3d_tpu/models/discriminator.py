@@ -288,7 +288,10 @@ class GeneralLPIPSWithDiscriminator:
         rec_loss = self._rec_loss(state, inputs, reconstructions)
         nll_loss, weighted_nll = self.get_nll_loss(state, rec_loss, weights)
 
-        active = train and global_step >= self.discriminator_iter_start
+        # `global_step` may be a traced array (jitted train step) or a python
+        # int (reference-style eager use); gate with where in the former case
+        traced = isinstance(global_step, jax.Array)
+        active = traced or (train and global_step >= self.discriminator_iter_start)
         if active or not train:
             logits_fake, _ = self._run_disc(state, reconstructions, train=False)
             g_loss = -jnp.mean(logits_fake)
@@ -308,6 +311,12 @@ class GeneralLPIPSWithDiscriminator:
                 )
             else:
                 d_weight = jnp.asarray(1.0)
+            if traced and train:
+                gate = (global_step >= self.discriminator_iter_start).astype(
+                    jnp.float32
+                )
+                d_weight = d_weight * gate
+                g_loss = g_loss * gate
         else:
             d_weight = jnp.asarray(0.0)
             g_loss = jnp.asarray(0.0)
@@ -358,10 +367,14 @@ class GeneralLPIPSWithDiscriminator:
             reconstructions,
             train,
         )
-        if train and global_step < self.discriminator_iter_start:
+        d_loss = self.disc_factor * self.disc_loss(logits_real, logits_fake)
+        if isinstance(global_step, jax.Array):
+            if train:
+                d_loss = d_loss * (
+                    global_step >= self.discriminator_iter_start
+                ).astype(d_loss.dtype)
+        elif train and global_step < self.discriminator_iter_start:
             d_loss = jnp.asarray(0.0)
-        else:
-            d_loss = self.disc_factor * self.disc_loss(logits_real, logits_fake)
         log = {
             f"{split}/loss/disc": d_loss,
             f"{split}/logits/real": jnp.mean(logits_real),
