@@ -50,8 +50,27 @@ def timestep_embedding(
     return embedding
 
 
+class _NormParams(nn.Module):
+    """Scale/bias container matching nn.GroupNorm's param layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm(32) computed in fp32, output cast back to the input dtype.
+
+    On TPU this dispatches to the fused Pallas kernels
+    (hi3d_tpu.ops.group_norm: streamed stats + one-pass apply, optional folded
+    SiLU); elsewhere it falls back to the same fp32 math in XLA. Param layout
+    matches nn.GroupNorm (child scope "norm" with scale/bias) so checkpoint
+    conversion is unchanged.
 
     At real model widths channels are always a multiple of 32; for toy test
     widths the group count falls back to gcd(channels, 32).
@@ -59,17 +78,31 @@ class GroupNorm32(nn.Module):
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    act: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.group_norm import _pallas_opted_in, supports_fused
+
         groups = math.gcd(x.shape[-1], self.num_groups)
+        if _pallas_opted_in() and supports_fused(x.shape, groups):
+            from ..ops.group_norm import fused_group_norm
+
+            scale, bias = _NormParams(x.shape[-1], name="norm")()
+            return fused_group_norm(
+                x, scale, bias, num_groups=groups, eps=self.epsilon,
+                act=self.act,
+            )
         y = nn.GroupNorm(
             num_groups=groups,
             epsilon=self.epsilon,
             dtype=jnp.float32,
             name="norm",
         )(x.astype(jnp.float32))
-        return y.astype(x.dtype)
+        y = y.astype(x.dtype)
+        if self.act == "silu":
+            y = nn.silu(y)
+        return y
 
 
 def _pad_for(kernel: Sequence[int]):
@@ -103,8 +136,7 @@ class ResBlock(nn.Module):
         else:
             kernel = tuple(self.kernel_size)
 
-        h = GroupNorm32(name="in_layers_0")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(act="silu", name="in_layers_0")(x)
         h = nn.Conv(
             self.out_channels,
             kernel,
@@ -134,11 +166,11 @@ class ResBlock(nn.Module):
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = GroupNorm32(name="out_layers_0")(h) * (1 + scale) + shift
+            h = nn.silu(h)
         else:
             if emb_out is not None:
                 h = h + emb_out.astype(h.dtype)
-            h = GroupNorm32(name="out_layers_0")(h)
-        h = nn.silu(h)
+            h = GroupNorm32(act="silu", name="out_layers_0")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(
             self.out_channels,

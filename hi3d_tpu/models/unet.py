@@ -311,8 +311,7 @@ class VideoUNet(nn.Module):
             for j, spec in enumerate(block):
                 h = make_layer(spec, f"output_blocks_{i}_{j}")(h)
 
-        h = GroupNorm32(name="out_0")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(act="silu", name="out_0")(h)
         h = nn.Conv(
             self.out_channels,
             (3, 3),

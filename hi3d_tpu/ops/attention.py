@@ -19,6 +19,7 @@ All inputs are (batch, seq, heads, head_dim) ["BSHD"]; output matches.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -65,6 +66,7 @@ def dot_product_attention(
     backend: str = "auto",
 ) -> jax.Array:
     """(B, Sq, H, D) × (B, Sk, H, D) → (B, Sq, H, D)."""
+    backend = os.environ.get("HI3D_ATTN_BACKEND", backend)  # perf A/B hook
     if backend == "auto":
         from .flash_attention import DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q
 

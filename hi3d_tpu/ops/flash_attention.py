@@ -36,8 +36,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 1024
-DEFAULT_BLOCK_K = 1024
+import os
+
+DEFAULT_BLOCK_Q = int(os.environ.get("HI3D_FLASH_BLOCK_Q", 1024))
+DEFAULT_BLOCK_K = int(os.environ.get("HI3D_FLASH_BLOCK_K", 1024))
 _NEG_INF = -1e30  # avoid actual -inf: exp(-inf - -inf) = nan on first block
 
 
