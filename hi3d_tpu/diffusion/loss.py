@@ -32,10 +32,16 @@ class StandardDiffusionLoss:
         batch2model_keys: Optional[Union[str, List[str]]] = None,
         num_frames: int = 1,
     ):
-        if loss_type not in ("l2", "l1"):
-            raise NotImplementedError(
-                f"loss_type {loss_type!r} (lpips not needed for Hi3D parity)"
-            )
+        if loss_type not in ("l2", "l1", "lpips"):
+            raise ValueError(f"loss_type {loss_type!r}")
+        if loss_type == "lpips":
+            # reference loss.py:33-34,107-108: perceptual distance between
+            # model output and target (meaningful for pixel-space models;
+            # load VGG weights via lpips_params for trained distances)
+            from ..models.lpips import LPIPS
+
+            self.lpips = LPIPS()
+            self.lpips_params = None
         self.sigma_sampler = instantiate_from_config(sigma_sampler_config)
         self.loss_weighting = instantiate_from_config(loss_weighting_config)
         self.loss_type = loss_type
@@ -81,6 +87,19 @@ class StandardDiffusionLoss:
         return self.get_loss(model_output, input, w)
 
     def get_loss(self, model_output, target, w):
+        if self.loss_type == "lpips":
+            if self.lpips_params is None:
+                self.lpips_params = self.lpips.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, 8, 8, model_output.shape[-1])),
+                    jnp.zeros((1, 8, 8, model_output.shape[-1])),
+                )
+            # reference applies no σ-weighting to the lpips branch (:107-108)
+            return self.lpips.apply(
+                self.lpips_params,
+                model_output.astype(jnp.float32),
+                target.astype(jnp.float32),
+            )  # (B,)
         diff = model_output.astype(jnp.float32) - target.astype(jnp.float32)
         if self.loss_type == "l2":
             per = w * diff**2

@@ -214,3 +214,35 @@ def test_append_dims_and_zero():
     np.testing.assert_allclose(z, [2.0, 1.0, 0.0])
     with pytest.raises(ValueError):
         append_dims(jnp.ones((2, 2)), 1)
+
+
+def test_diffusion_loss_lpips_type():
+    """loss_type='lpips': perceptual distance, no σ-weighting
+    (reference loss.py:33-34,107-108)."""
+    import jax
+    import jax.numpy as jnp
+    from hi3d_tpu.diffusion.loss import StandardDiffusionLoss
+
+    loss = StandardDiffusionLoss(
+        sigma_sampler_config={
+            "target": "sgm.modules.diffusionmodules.sigma_sampling.EDMSampling",
+            "params": {"p_mean": -1.2, "p_std": 1.2},
+        },
+        loss_weighting_config={
+            "target": "sgm.modules.diffusionmodules.loss_weighting.UnitWeighting",
+        },
+        loss_type="lpips",
+        num_frames=1,
+    )
+
+    def network(x, sigma, cond, **kw):
+        return x * 0.98  # near-identity "denoiser network"
+
+    class _IdDenoiser:
+        def __call__(self, net, x, sigma, cond, **kw):
+            return net(x, sigma, cond, **kw)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3)) * 0.3
+    out = loss(network, _IdDenoiser(), {}, x, {}, jax.random.PRNGKey(1))
+    assert out.shape == (2,)
+    assert bool(jnp.all(jnp.isfinite(out)))

@@ -90,3 +90,90 @@ def test_resized_crop():
     img = rand_img(30, 30)
     out = F.resized_crop(img, 5, 5, 20, 20, (10, 10))
     assert out.shape == (10, 10, 3)
+
+
+def test_ten_crop():
+    img = rand_img(32, 40)
+    crops = F.ten_crop(img, 16)
+    assert len(crops) == 10
+    np.testing.assert_array_equal(crops[0], img[:16, :16])
+    # second five comes from the h-flipped image
+    np.testing.assert_array_equal(crops[5], F.hflip(img)[:16, :16])
+    crops_v = F.ten_crop(img, 16, vertical_flip=True)
+    np.testing.assert_array_equal(crops_v[5], F.vflip(img)[:16, :16])
+
+
+def test_adjust_hue_wraparound_and_identity():
+    img = rand_img(16, 16)
+    same = F.adjust_hue(img, 0.0)
+    assert same.shape == img.shape
+    # hue is cyclic: ±0.5 shifts land 2/255 apart (int(±0.5·255) mod 256),
+    # so the two complementary-hue images nearly coincide
+    pos = F.adjust_hue(img, 0.5)
+    neg = F.adjust_hue(img, -0.5)
+    assert np.mean(np.abs(pos.astype(int) - neg.astype(int))) < 4
+    # and a real shift changes the image
+    assert np.abs(pos.astype(int) - img.astype(int)).max() > 0
+    try:
+        F.adjust_hue(img, 0.7)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_adjust_gamma_lut():
+    img = rand_img(8, 8)
+    out = F.adjust_gamma(img, gamma=1.0)
+    np.testing.assert_array_equal(out, img)  # identity at γ=1, gain=1
+    dark = F.adjust_gamma(img, gamma=2.0)
+    assert dark.astype(int).mean() < img.astype(int).mean()
+    expected = ((img[0, 0, 0] / 255.0) ** 2.0) * 255
+    assert abs(int(dark[0, 0, 0]) - int(expected)) <= 1
+
+
+def test_affine_identity_and_translate():
+    img = rand_img(24, 24)
+    ident = F.affine(img, angle=0, translate=(0, 0), scale=1.0, shear=0)
+    np.testing.assert_array_equal(ident, img)
+    shifted = F.affine(img, angle=0, translate=(3, 0), scale=1.0, shear=0)
+    np.testing.assert_array_equal(shifted[:, 3:], img[:, :-3])
+
+
+def test_to_grayscale():
+    img = rand_img(8, 8)
+    g1 = F.to_grayscale(img, 1)
+    assert g1.shape == (8, 8, 1)
+    g3 = F.to_grayscale(img, 3)
+    assert g3.shape == img.shape
+    np.testing.assert_array_equal(g3[..., 0], g3[..., 1])
+
+
+def test_class_api_compose():
+    rng = np.random.default_rng(0)
+    pipeline = F.Compose([
+        F.Resize(20),
+        F.CenterCrop(16),
+        F.RandomHorizontalFlip(p=0.0),
+        F.ToTensor(),
+        F.Normalize([0.5, 0.5, 0.5], [0.5, 0.5, 0.5]),
+    ])
+    out = pipeline(rand_img(40, 60))
+    assert out.shape == (16, 16, 3)
+    assert out.dtype == np.float32
+    assert -1.0 <= out.min() and out.max() <= 1.0
+
+
+def test_random_classes_deterministic_with_rng():
+    img = rand_img(32, 32)
+    a = F.RandomCrop(16, rng=np.random.default_rng(7))(img)
+    b = F.RandomCrop(16, rng=np.random.default_rng(7))(img)
+    np.testing.assert_array_equal(a, b)
+    r = F.RandomResizedCrop(8, rng=np.random.default_rng(3))(img)
+    assert r.shape == (8, 8, 3)
+    rot = F.RandomRotation(10, rng=np.random.default_rng(1))(img)
+    assert rot.shape == img.shape
+    aff = F.RandomAffine(5, translate=(0.1, 0.1), scale=(0.9, 1.1), shear=5,
+                         rng=np.random.default_rng(2))(img)
+    assert aff.shape == img.shape
+    cj = F.ColorJitter(0.2, 0.2, 0.2, 0.1, rng=np.random.default_rng(4))(img)
+    assert cj.shape == img.shape
