@@ -41,12 +41,21 @@ def make_train_step(
     ema_decay: Optional[float] = None,
     accum_steps: int = 1,
     donate: bool = True,
+    param_sharding: str = "replicated",
 ):
     """Build the jitted train step.
 
     loss_fn(params, batch, rng) -> scalar loss. `batch` is a pytree whose
     leaves all have a leading (global) batch axis; it is sharded over "data".
-    """
+
+    param_sharding: "replicated" (DDP/ZeRO-2 parity — params live on every
+    chip, only optimizer state shards) or "fsdp" (ZeRO-3/FSDP-style — params
+    and EMA shard over "data" like the optimizer state; XLA inserts the
+    all-gathers at use and reduce-scatters of grads automatically — the
+    TPU-native form of the reference's commented-out FSDP experiment,
+    train_ddp_spawn.py:22-23,146-148)."""
+    if param_sharding not in ("replicated", "fsdp"):
+        raise ValueError(f"param_sharding {param_sharding!r}")
 
     def microbatch_grads(params, batch, rng):
         if accum_steps == 1:
@@ -104,16 +113,28 @@ def make_train_step(
 
     def shard_state_like(state: TrainState) -> TrainState:
         rep = replicated(mesh)
+        if param_sharding == "fsdp":
+            param_sh = named_shardings(
+                zero_partition_spec(state.params, mesh), mesh
+            )
+        else:
+            param_sh = jax.tree.map(lambda _: rep, state.params)
         return TrainState(
             step=rep,
-            params=jax.tree.map(lambda _: rep, state.params),
+            params=param_sh,
             opt_state=named_shardings(
                 zero_partition_spec(state.opt_state, mesh), mesh
             ),
             ema_params=(
                 None
                 if state.ema_params is None
-                else jax.tree.map(lambda _: rep, state.ema_params)
+                else (
+                    named_shardings(
+                        zero_partition_spec(state.ema_params, mesh), mesh
+                    )
+                    if param_sharding == "fsdp"
+                    else jax.tree.map(lambda _: rep, state.ema_params)
+                )
             ),
         )
 
@@ -138,20 +159,36 @@ def make_train_step(
     return jit_for
 
 
-def place_state(state: TrainState, mesh) -> TrainState:
-    """Device-put a host TrainState onto the mesh with ZeRO sharding."""
+def place_state(
+    state: TrainState, mesh, param_sharding: str = "replicated"
+) -> TrainState:
+    """Device-put a host TrainState onto the mesh with ZeRO sharding
+    (params/EMA also shard when param_sharding="fsdp")."""
     rep = replicated(mesh)
+
+    def put_sharded(tree):
+        return jax.tree.map(
+            lambda leaf, sh: jax.device_put(leaf, sh),
+            tree,
+            named_shardings(zero_partition_spec(tree, mesh), mesh),
+        )
+
+    fsdp = param_sharding == "fsdp"
     return TrainState(
         step=jax.device_put(state.step, rep),
-        params=jax.device_put(state.params, rep),
-        opt_state=jax.tree.map(
-            lambda leaf, sh: jax.device_put(leaf, sh),
-            state.opt_state,
-            named_shardings(zero_partition_spec(state.opt_state, mesh), mesh),
+        params=(
+            put_sharded(state.params)
+            if fsdp
+            else jax.device_put(state.params, rep)
         ),
+        opt_state=put_sharded(state.opt_state),
         ema_params=(
             None
             if state.ema_params is None
-            else jax.device_put(state.ema_params, rep)
+            else (
+                put_sharded(state.ema_params)
+                if fsdp
+                else jax.device_put(state.ema_params, rep)
+            )
         ),
     )

@@ -203,3 +203,46 @@ def test_grad_accumulation_matches_full_batch():
     np.testing.assert_allclose(
         np.asarray(stf.params["w"]), np.asarray(sta.params["w"]), rtol=1e-5
     )
+
+
+def test_fsdp_param_sharding_matches_replicated():
+    """param_sharding='fsdp' (ZeRO-3 style) computes the same step as
+    replicated DDP and actually shards the params over the mesh."""
+    def loss_fn(params, batch, rng):
+        pred = jnp.tanh(batch["x"] @ params["w1"]) @ params["w2"]
+        return jnp.mean((pred - batch["y"]) ** 2)
+
+    mesh = make_mesh(data=8)
+    k = jax.random.PRNGKey(0)
+    params = {
+        "w1": jax.random.normal(k, (16, 32)) * 0.1,
+        "w2": jax.random.normal(jax.random.fold_in(k, 1), (32, 8)) * 0.1,
+    }
+    batch = {
+        "x": jax.random.normal(jax.random.fold_in(k, 2), (16, 16)),
+        "y": jax.random.normal(jax.random.fold_in(k, 3), (16, 8)),
+    }
+    tx = build_optimizer(1e-2, params)
+
+    st1 = TrainState.create(params, tx, use_ema=True)
+    step1 = make_train_step(loss_fn, tx, mesh=None, ema_decay=0.9999, donate=False)
+    st1b, m1 = step1(st1, batch, jax.random.PRNGKey(7))
+
+    stf = place_state(
+        TrainState.create(params, tx, use_ema=True), mesh,
+        param_sharding="fsdp",
+    )
+    stepf = make_train_step(
+        loss_fn, tx, mesh=mesh, ema_decay=0.9999, donate=False,
+        param_sharding="fsdp",
+    )(stf, batch)
+    stfb, mf = stepf(stf, batch, jax.random.PRNGKey(7))
+
+    assert float(m1["loss"]) == pytest.approx(float(mf["loss"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(st1b.params), jax.tree.leaves(stfb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-6)
+    # params are genuinely distributed: each leaf sharded over 8 devices
+    for leaf in jax.tree.leaves(stfb.params):
+        assert len(leaf.sharding.device_set) == 8
+        assert not leaf.sharding.is_fully_replicated
