@@ -616,3 +616,52 @@ def load_clip_jit_text(path: str) -> Dict:
             "vocab_size")
     text = {k: v for k, v in sd.items() if not k.startswith(drop)}
     return convert_state_dict(text, convert_clip_text_key)
+
+
+# --------------------------------------------------------------------------
+# U²-Net (rembg background-removal weights: u2net.pth / u2netp.pth)
+# --------------------------------------------------------------------------
+
+_U2NET_BN_LEAF = {
+    "weight": "scale",
+    "bias": "bias",
+    "running_mean": "mean",
+    "running_var": "var",
+}
+
+
+def convert_u2net_sd(sd: Mapping[str, np.ndarray]) -> Dict:
+    """xuebinqin/U-2-Net torch state dict → flax params for models.u2net.
+
+    Torch layout: `stage{N}[d].rebnconv{K}[d].{conv_s1,bn_s1}.*`,
+    `side{N}.{weight,bias}`, `outconv.{weight,bias}`. BatchNorm running
+    stats become FrozenBatchNorm mean/var parameters.
+    """
+    import flax
+
+    flat: Dict[Path, np.ndarray] = {}
+    for k, v in sd.items():
+        parts = k.split(".")
+        leaf_src = parts[-1]
+        if leaf_src == "num_batches_tracked":
+            continue
+        if parts[0].startswith("side") or parts[0] == "outconv":
+            leaf = "kernel" if leaf_src == "weight" else "bias"
+            val = v.transpose(2, 3, 1, 0) if v.ndim == 4 else v
+            flat[(parts[0], leaf)] = jnp.asarray(val)
+            continue
+        stage, block, sub = parts[0], parts[1], parts[2]
+        if sub == "conv_s1":
+            leaf = "kernel" if leaf_src == "weight" else "bias"
+            val = v.transpose(2, 3, 1, 0) if v.ndim == 4 else v
+            flat[(stage, block, "conv", leaf)] = jnp.asarray(val)
+        elif sub == "bn_s1":
+            flat[(stage, block, "bn", _U2NET_BN_LEAF[leaf_src])] = jnp.asarray(v)
+        else:
+            raise KeyError(f"unrecognised u2net key: {k}")
+    return {"params": flax.traverse_util.unflatten_dict(flat)}
+
+
+def load_u2net(path: str) -> Dict:
+    """u2net.pth / u2netp.pth → flax params."""
+    return convert_u2net_sd(load_torch_state_dict(path))

@@ -66,11 +66,53 @@ def to_tensor_range(img: np.ndarray) -> np.ndarray:
     return (img.astype(np.float32) / 255.0 - 0.5) * 2.0
 
 
-def remove_background(path: str, out_rgba: str, out_white: str) -> str:
-    """rembg U2Net background removal; graceful fallback when unavailable.
+def _u2net_checkpoint() -> Optional[str]:
+    """Locate a U²-Net checkpoint: $HI3D_U2NET_CKPT or ckpts/u2net[p].pth."""
+    import os
 
-    Returns the path of the white-background image to feed the pipeline.
+    cand = [os.environ.get("HI3D_U2NET_CKPT", "")]
+    cand += [os.path.join("ckpts", n) for n in ("u2net.pth", "u2netp.pth")]
+    for c in cand:
+        if c and os.path.exists(c):
+            return c
+    return None
+
+
+def _write_rgba_outputs(rgb: np.ndarray, alpha: np.ndarray,
+                        out_rgba: str, out_white: str) -> str:
+    import cv2
+
+    a = np.clip(alpha * 255.0, 0, 255).round().astype(np.uint8)
+    rgba = np.concatenate([rgb, a[..., None]], axis=-1)
+    cv2.imwrite(out_rgba, rgba[..., [2, 1, 0, 3]])  # RGBA → BGRA
+    white = composite_white(rgba)
+    cv2.imwrite(out_white, white[..., ::-1])
+    return out_white
+
+
+def remove_background(path: str, out_rgba: str, out_white: str) -> str:
+    """U²-Net background removal (reference pipeline_i2v_eval_v01.py:153-168).
+
+    Prefers the native JAX U²-Net (models/u2net.py) with weights from
+    $HI3D_U2NET_CKPT or ckpts/u2net[p].pth; falls back to the `rembg`
+    package if installed; otherwise assumes the input already has a
+    clean/white background. Returns the path of the white-background image
+    to feed the pipeline.
     """
+    ckpt = _u2net_checkpoint()
+    if ckpt is not None:
+        import cv2
+
+        from hi3d_tpu.convert.torch_to_jax import load_u2net
+        from hi3d_tpu.models.u2net import U2Net, segment
+
+        params = load_u2net(ckpt)
+        full = "u2netp" not in ckpt.rsplit("/", 1)[-1]
+        model = U2Net(full=full)
+        img = cv2.imread(path, cv2.IMREAD_COLOR)[..., ::-1]  # BGR → RGB
+        mask = np.asarray(segment(model, params, img))
+        return _write_rgba_outputs(img, mask, out_rgba, out_white)
+
     try:
         import rembg
         from PIL import Image
