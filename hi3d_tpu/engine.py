@@ -82,6 +82,7 @@ class DiffusionEngine:
         self.use_ema = use_ema
         self.ema_decay_rate = ema_decay_rate
         self.log_keys = log_keys
+        self.no_cond_log = no_cond_log
         self.optimizer_config = optimizer_config
         self.scheduler_config = scheduler_config
         self.base_learning_rate = base_learning_rate
@@ -360,6 +361,42 @@ class VideoLDM(DiffusionEngine):
 
         return loss_fn
 
+    def log_conditionings(self, batch: Dict, n: int) -> Dict[str, np.ndarray]:
+        """Render loggable conditioning inputs as images (reference
+        diffusion.py:255-291): scalar/int per-sample conds and string
+        captions become text images; 2-D conds are "x"-joined."""
+        from .utils.image import log_txt_as_img
+
+        if self.no_cond_log:
+            return {}
+        video = np.asarray(batch[self.input_key])
+        image_h, image_w = video.shape[-3:-1]
+        log: Dict[str, np.ndarray] = {}
+        for embedder in self.conditioner.embedders:
+            key = embedder.input_key
+            if key is None or key not in batch:
+                continue
+            if self.log_keys is not None and key not in self.log_keys:
+                continue
+            x = batch[key]
+            if isinstance(x, (list, tuple)) and x and isinstance(x[0], str):
+                log[key] = log_txt_as_img(
+                    (image_w, image_h), list(x[:n]), size=image_h // 20
+                )
+                continue
+            x = np.asarray(x)[:n]
+            if x.ndim == 1:
+                caps = [str(v) for v in x.tolist()]
+                log[key] = log_txt_as_img(
+                    (image_w, image_h), caps, size=image_h // 4
+                )
+            elif x.ndim == 2:
+                caps = ["x".join(str(v) for v in row) for row in x.tolist()]
+                log[key] = log_txt_as_img(
+                    (image_w, image_h), caps, size=image_h // 20
+                )
+        return log
+
     def log_images(
         self,
         batch: Dict,
@@ -381,6 +418,14 @@ class VideoLDM(DiffusionEngine):
         log: Dict[str, np.ndarray] = {
             "inputs": np.asarray(video, np.float32)
         }
+        if "caption" in batch and not self.no_cond_log:
+            # reference vtdm_gen_v01.py:139 renders the caption at 512²
+            from .utils.image import log_txt_as_img
+
+            caps = batch["caption"]
+            if isinstance(caps, str):
+                caps = [caps]
+            log["conditioning"] = log_txt_as_img((512, 512), caps[:n], size=16)
         z = self.encode_first_stage(frames)
         recon = self.decode_first_stage(z)
         log["reconstructions"] = np.asarray(

@@ -140,3 +140,39 @@ def foreground_mask_from_white(
     """
     bg = np.all(img.astype(np.int32) > threshold, axis=-1)
     return (~bg).astype(np.float32)
+
+
+def log_txt_as_img(
+    wh: Tuple[int, int], captions, size: int = 10
+) -> np.ndarray:
+    """Render captions as white images with black text (reference
+    sgm/util.py:68-95) for the image logger's conditioning dumps.
+
+    Returns (B, H, W, 3) float32 in [-1, 1]. Uses PIL's bundled default
+    font (the reference hardcodes a DejaVuSans.ttf path that may not
+    exist; behavior is otherwise identical — 40·(W/256) chars per line).
+    """
+    from PIL import Image, ImageDraw, ImageFont
+
+    out = []
+    for cap in captions:
+        txt = Image.new("RGB", wh, color="white")
+        draw = ImageDraw.Draw(txt)
+        try:
+            font = ImageFont.truetype("DejaVuSans.ttf", size=size)
+        except OSError:
+            try:
+                font = ImageFont.load_default(size=size)
+            except TypeError:  # older PIL: no size kwarg
+                font = ImageFont.load_default()
+        if isinstance(cap, (list, tuple)):
+            cap = cap[0]
+        cap = str(cap)
+        nc = max(int(40 * (wh[0] / 256)), 1)
+        lines = "\n".join(cap[i : i + nc] for i in range(0, len(cap), nc))
+        try:
+            draw.text((0, 0), lines, fill="black", font=font)
+        except UnicodeEncodeError:
+            pass
+        out.append(np.asarray(txt, np.float32) / 127.5 - 1.0)
+    return np.stack(out)

@@ -81,9 +81,30 @@ def test_log_images_keys(model):
     batch = {
         "video": jnp.zeros((1, T, RES, RES, 3)),
         "elevation": jnp.zeros((1,)),
+        "caption": ["a test asset"],
     }
     log = model.log_images(batch, n=1, sample=True, rng=jax.random.PRNGKey(3))
-    assert set(log) == {"inputs", "reconstructions", "samples"}
-    for v in log.values():
-        assert v.shape == (1, T, RES, RES, 3)
-        assert np.isfinite(v).all()
+    assert set(log) == {"inputs", "reconstructions", "samples", "conditioning"}
+    # caption rendered at 512² (reference vtdm_gen_v01.py:139)
+    assert log["conditioning"].shape == (1, 512, 512, 3)
+    for k in ("inputs", "reconstructions", "samples"):
+        assert log[k].shape == (1, T, RES, RES, 3)
+        assert np.isfinite(log[k]).all()
+
+
+def test_log_conditionings_text_images(model):
+    """Generic conditioning dumps (reference diffusion.py:255-291)."""
+    batch = {
+        "video": jnp.zeros((2, T, RES, RES, 3)),
+        "elevation": jnp.asarray([0.0, 10.0]),
+    }
+    log = model.log_conditionings(batch, n=2)
+    assert "elevation" in log
+    assert log["elevation"].shape == (2, RES, RES, 3)
+    assert log["elevation"].min() >= -1.0 and log["elevation"].max() <= 1.0
+
+    model.no_cond_log = True
+    try:
+        assert model.log_conditionings(batch, n=2) == {}
+    finally:
+        model.no_cond_log = False
