@@ -665,3 +665,41 @@ def convert_u2net_sd(sd: Mapping[str, np.ndarray]) -> Dict:
 def load_u2net(path: str) -> Dict:
     """u2net.pth / u2netp.pth → flax params."""
     return convert_u2net_sd(load_torch_state_dict(path))
+
+
+def _block2d_rest(rest) -> Optional[Path]:
+    """One entry of a 2-D UNetModel TimestepEmbedSequential (openaimodel.py
+    :472-853): plain ResBlock (no 'spatial' wrapper scope), SpatialTransformer,
+    Down/Upsample, or the stem conv."""
+    if rest[0] in ("weight", "bias"):
+        return ()
+    if rest[0] in ("in_layers", "out_layers", "emb_layers", "skip_connection"):
+        return _resblock_rest(rest)
+    if rest[0] == "op":
+        return ("op",)
+    if rest[0] == "conv":
+        return ("conv",)
+    return _transformer_rest(rest)
+
+
+def convert_unet2d_key(key: str) -> Optional[Path]:
+    """Map a torch 2-D UNetModel state-dict key to a flax param path."""
+    parts = key.split(".")
+    if parts[0] == "time_embed":
+        return (f"time_embed_{parts[1]}",)
+    if parts[0] == "label_emb":
+        if len(parts) >= 3 and parts[1].isdigit():
+            return (f"label_emb_{parts[1]}_{parts[2]}",)
+        return ("label_emb",)  # continuous-mode Linear
+    if parts[0] == "out":
+        return ("out_0", _NORM) if parts[1] == "0" else ("out_2",)
+    if parts[0] in ("input_blocks", "output_blocks", "middle_block"):
+        if parts[0] == "middle_block":
+            prefix, rest = f"middle_block_{parts[1]}", parts[2:]
+        else:
+            prefix, rest = f"{parts[0]}_{parts[1]}_{parts[2]}", parts[3:]
+        sub = _block2d_rest(rest)
+        if sub is None:
+            return None
+        return (prefix,) + sub
+    return None

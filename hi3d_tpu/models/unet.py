@@ -38,6 +38,7 @@ from .layers import (
     Upsample,
     timestep_embedding,
 )
+from .attention import SpatialTransformer
 from .video_attention import SpatialVideoTransformer
 
 Dtype = Any
@@ -288,6 +289,167 @@ class VideoUNet(nn.Module):
                 return lambda h: block(
                     h, context, time_context, t, image_only_indicator
                 )
+            if kind == "down":
+                block = Downsample(spec[1], dtype=self.dtype, name=name)
+                return lambda h: block(h)
+            if kind == "up":
+                block = Upsample(spec[1], dtype=self.dtype, name=name)
+                return lambda h: block(h)
+            raise ValueError(kind)
+
+        h = x.astype(self.dtype)
+        skips = []
+        for i, block in enumerate(input_plan):
+            for j, spec in enumerate(block):
+                h = make_layer(spec, f"input_blocks_{i}_{j}")(h)
+            skips.append(h)
+
+        for j, spec in enumerate(middle_plan):
+            h = make_layer(spec, f"middle_block_{j}")(h)
+
+        for i, block in enumerate(output_plan):
+            h = jnp.concatenate([h, skips.pop()], axis=-1)
+            for j, spec in enumerate(block):
+                h = make_layer(spec, f"output_blocks_{i}_{j}")(h)
+
+        h = GroupNorm32(act="silu", name="out_0")(h)
+        h = nn.Conv(
+            self.out_channels,
+            (3, 3),
+            padding=[(1, 1), (1, 1)],
+            kernel_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="out_2",
+        )(h)
+        return h
+
+
+class UNetModel(nn.Module):
+    """Legacy 2-D image UNet (reference openaimodel.py:472-853) — the SD/SDXL
+    denoiser family. Shares the static block plan, ResBlock, and
+    SpatialTransformer with VideoUNet, minus every temporal component; kept
+    as a first-class model so image-diffusion configs (sgm's t2i surface)
+    run on the same engine.
+
+    Layout: x (B, H, W, C_in); timesteps (B,); context (B, S_ctx, D);
+    y (B,) int labels or (B, adm_in_channels) vectors.
+    """
+
+    in_channels: int
+    model_channels: int
+    out_channels: int
+    num_res_blocks: int
+    attention_resolutions: Sequence[int]
+    dropout: float = 0.0
+    channel_mult: Sequence[int] = (1, 2, 4, 8)
+    num_classes: Optional[Union[int, str]] = None
+    use_checkpoint: bool = False
+    num_heads: int = -1
+    num_head_channels: int = -1
+    transformer_depth: Union[int, Sequence[int]] = 1
+    context_dim: Optional[int] = None
+    use_linear_in_transformer: bool = False
+    adm_in_channels: Optional[int] = None
+    dtype: Dtype = jnp.float32
+    attn_backend: str = "auto"
+    spatial_transformer_attn_type: str = "softmax-xformers"  # YAML parity
+
+    def _heads_for(self, ch: int) -> Tuple[int, int]:
+        if self.num_head_channels == -1:
+            return self.num_heads, ch // self.num_heads
+        return ch // self.num_head_channels, self.num_head_channels
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        timesteps: jax.Array,
+        context: Optional[jax.Array] = None,
+        y: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        depth_cfg = (
+            [self.transformer_depth] * len(self.channel_mult)
+            if isinstance(self.transformer_depth, int)
+            else list(self.transformer_depth)
+        )
+        input_plan, middle_plan, output_plan, _ = _build_plan(
+            self.model_channels,
+            self.channel_mult,
+            self.num_res_blocks,
+            self.attention_resolutions,
+            depth_cfg,
+            self.num_head_channels,
+        )
+
+        t_emb = timestep_embedding(timesteps, self.model_channels)
+        emb = nn.Dense(
+            self.model_channels * 4, dtype=self.dtype, name="time_embed_0"
+        )(t_emb.astype(self.dtype))
+        emb = nn.Dense(
+            self.model_channels * 4, dtype=self.dtype, name="time_embed_2"
+        )(nn.silu(emb))
+
+        if self.num_classes is not None:
+            if self.num_classes == "sequential":
+                lab = nn.Dense(
+                    self.model_channels * 4, dtype=self.dtype,
+                    name="label_emb_0_0",
+                )(y.astype(self.dtype))
+                lab = nn.Dense(
+                    self.model_channels * 4, dtype=self.dtype,
+                    name="label_emb_0_2",
+                )(nn.silu(lab))
+            elif self.num_classes == "continuous":
+                lab = nn.Dense(
+                    self.model_channels * 4, dtype=self.dtype, name="label_emb"
+                )(y.astype(self.dtype)[:, None])
+            elif isinstance(self.num_classes, int):
+                lab = nn.Embed(
+                    self.num_classes, self.model_channels * 4,
+                    dtype=self.dtype, name="label_emb",
+                )(y.astype(jnp.int32))
+            else:
+                raise NotImplementedError(
+                    f"num_classes={self.num_classes!r} unsupported"
+                )
+            emb = emb + lab
+
+        res_cls = ResBlock
+        attn_cls = SpatialTransformer
+        if self.use_checkpoint:
+            res_cls = nn.remat(ResBlock)
+            attn_cls = nn.remat(SpatialTransformer)
+
+        def make_layer(spec, name):
+            kind = spec[0]
+            if kind == "conv_in":
+                conv = nn.Conv(
+                    spec[1], (3, 3), padding=[(1, 1), (1, 1)],
+                    dtype=self.dtype, name=name,
+                )
+                return lambda h: conv(h)
+            if kind == "res":
+                block = res_cls(
+                    out_channels=spec[1],
+                    dropout=self.dropout,
+                    dims=2,
+                    dtype=self.dtype,
+                    name=name,
+                )
+                return lambda h: block(h, emb, deterministic=deterministic)
+            if kind == "attn":
+                heads, dim_head = self._heads_for(spec[1])
+                block = attn_cls(
+                    heads=heads,
+                    dim_head=dim_head,
+                    depth=spec[2],
+                    use_linear=self.use_linear_in_transformer,
+                    dtype=self.dtype,
+                    attn_backend=self.attn_backend,
+                    name=name,
+                )
+                return lambda h: block(h, context=context)
             if kind == "down":
                 block = Downsample(spec[1], dtype=self.dtype, name=name)
                 return lambda h: block(h)

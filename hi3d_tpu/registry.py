@@ -40,6 +40,7 @@ _ALIASES: Dict[str, str] = {
     "sgm.modules.diffusionmodules.loss.StandardDiffusionLoss": "hi3d_tpu.diffusion.loss:StandardDiffusionLoss",
     # --- networks ---
     "sgm.modules.diffusionmodules.video_model.VideoUNet": "hi3d_tpu.models.unet:VideoUNet",
+    "sgm.modules.diffusionmodules.openaimodel.UNetModel": "hi3d_tpu.models.unet:UNetModel",
     "sgm.modules.diffusionmodules.wrappers.OpenAIWrapper": "hi3d_tpu.models.wrappers:ConcatConditionWrapper",
     "sgm.modules.diffusionmodules.wrappers.IdentityWrapper": "hi3d_tpu.models.wrappers:IdentityWrapper",
     # --- autoencoder ---

@@ -77,3 +77,27 @@ def make_reference_unet(**overrides):
     )
     cfg.update(overrides)
     return VideoUNet(**cfg), cfg
+
+
+def make_reference_unet2d(**overrides):
+    """Reference 2-D UNetModel (openaimodel.py:472-853) at a toy config."""
+    load_reference()
+    from sgm.modules.diffusionmodules.openaimodel import UNetModel
+
+    cfg = dict(
+        in_channels=4,
+        model_channels=32,
+        out_channels=4,
+        num_res_blocks=1,
+        attention_resolutions=[1, 2],
+        channel_mult=[1, 2],
+        num_classes="sequential",
+        num_head_channels=16,
+        transformer_depth=1,
+        context_dim=64,
+        use_linear_in_transformer=True,
+        spatial_transformer_attn_type="softmax",
+        adm_in_channels=48,
+    )
+    cfg.update(overrides)
+    return UNetModel(**cfg), cfg
