@@ -65,6 +65,7 @@ class DiffusionEngine:
         input_key: str = "jpg",
         log_keys: Optional[List[str]] = None,
         no_cond_log: bool = False,
+        monitor: Optional[str] = None,  # checkpoint-retention metric
         compile_model: bool = False,
         en_and_decode_n_samples_a_time: Optional[int] = None,
         decode_tile_size: Optional[int] = 96,  # latent side beyond which the
@@ -83,6 +84,7 @@ class DiffusionEngine:
         self.ema_decay_rate = ema_decay_rate
         self.log_keys = log_keys
         self.no_cond_log = no_cond_log
+        self.monitor = monitor
         self.optimizer_config = optimizer_config
         self.scheduler_config = scheduler_config
         self.base_learning_rate = base_learning_rate

@@ -72,6 +72,45 @@ class CrossAttention(nn.Module):
         return nn.Dense(out_dim, dtype=self.dtype, name="to_out_0")(out)
 
 
+class TimeAxisCrossAttention(nn.Module):
+    """Multi-head attention along the frame axis of (B, T, S, C) tokens.
+
+    Param tree (to_q/to_k/to_v/to_out_0) is identical to CrossAttention, so
+    checkpoints load unchanged; only the contraction layout differs (see
+    ops.attention.xla_attention_time). `context`, when given, is per-video
+    (B, S_ctx, C_ctx) — NOT repeated per spatial location.
+    """
+
+    heads: int
+    dim_head: int
+    out_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, context: Optional[jax.Array] = None
+    ) -> jax.Array:
+        from ..ops.attention import xla_attention_time
+
+        inner = self.heads * self.dim_head
+        out_dim = self.out_dim if self.out_dim is not None else x.shape[-1]
+        ctx = x if context is None else context
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        b, t, s, _ = q.shape
+        q = q.reshape(b, t, s, self.heads, self.dim_head)
+        kv_shape = (b,) + k.shape[1:-1] + (self.heads, self.dim_head)
+        k = k.reshape(kv_shape)
+        v = v.reshape(kv_shape)
+
+        out = xla_attention_time(q, k, v)
+        out = out.reshape(b, t, s, inner)
+        return nn.Dense(out_dim, dtype=self.dtype, name="to_out_0")(out)
+
+
 class GEGLU(nn.Module):
     dim_out: int
     dtype: Dtype = jnp.float32

@@ -82,7 +82,12 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from ..ops.group_norm import _pallas_opted_in, supports_fused
+        from ..ops.group_norm import (
+            _group_stats,
+            _pallas_opted_in,
+            _twostage_opted_in,
+            supports_fused,
+        )
 
         groups = math.gcd(x.shape[-1], self.num_groups)
         if _pallas_opted_in() and supports_fused(x.shape, groups):
@@ -93,6 +98,31 @@ class GroupNorm32(nn.Module):
                 x, scale, bias, num_groups=groups, eps=self.epsilon,
                 act=self.act,
             )
+        if _twostage_opted_in():
+            # pure-XLA two-stage stats: reduce over spatial dims first with
+            # the channel dim lane-aligned, then the tiny per-group combine —
+            # sidesteps XLA's grouped-reduce layout churn while keeping the
+            # apply as fusable jnp elementwise ops.
+            c = x.shape[-1]
+            n = x.shape[0]
+            cpg = c // groups
+            scale, bias = _NormParams(c, name="norm")()
+            gm, inv = _group_stats(x, groups, self.epsilon)  # (N, g) fp32
+            mul = (
+                scale.astype(jnp.float32).reshape(1, groups, cpg)
+                * inv[:, :, None]
+            ).reshape(n, c)
+            add = (
+                bias.astype(jnp.float32).reshape(1, groups, cpg)
+                - gm[:, :, None] * scale.astype(jnp.float32).reshape(1, groups, cpg)
+                * inv[:, :, None]
+            ).reshape(n, c)
+            bshape = (n,) + (1,) * (x.ndim - 2) + (c,)
+            y = x.astype(jnp.float32) * mul.reshape(bshape) + add.reshape(bshape)
+            y = y.astype(x.dtype)
+            if self.act == "silu":
+                y = nn.silu(y)
+            return y
         y = nn.GroupNorm(
             num_groups=groups,
             epsilon=self.epsilon,

@@ -29,10 +29,21 @@ from .attention import (
     CrossAttention,
     FeedForward,
     LayerNorm32,
+    TimeAxisCrossAttention,
 )
 from .layers import AlphaBlender, GroupNorm32, timestep_embedding
 
 Dtype = Any
+
+
+def _temporal_4d() -> bool:
+    """HI3D_TEMPORAL_4D=1 keeps temporal-attention tokens 4-D (B, T, S, C)
+    instead of flattening to (B·S, T, C) — removes the per-site layout-copy
+    XLA emits for the flattened rearrange. Param trees are identical in both
+    modes. A/B'd on the full denoise step before switching the default."""
+    import os
+
+    return os.environ.get("HI3D_TEMPORAL_4D", "0") == "1"
 
 
 class VideoTransformerBlock(nn.Module):
@@ -57,8 +68,28 @@ class VideoTransformerBlock(nn.Module):
         bt, s, c = x.shape
         t = timesteps
         b = bt // t
-        # (B·T, S, C) -> (B·S, T, C): attend across frames per spatial location
-        x = x.reshape(b, t, s, c).transpose(0, 2, 1, 3).reshape(b * s, t, c)
+        four_d = _temporal_4d()
+        if four_d:
+            # keep tokens as (B, T, S, C) — a free reshape — and attend over
+            # the frame axis in place (ops.attention.xla_attention_time);
+            # `context` stays per-video (B, S_ctx, C)
+            x = x.reshape(b, t, s, c)
+            attn = lambda name: TimeAxisCrossAttention(
+                heads=self.heads,
+                dim_head=self.dim_head,
+                dtype=self.dtype,
+                name=name,
+            )
+        else:
+            # (B·T, S, C) -> (B·S, T, C): attend across frames per location
+            x = x.reshape(b, t, s, c).transpose(0, 2, 1, 3).reshape(b * s, t, c)
+            attn = lambda name: CrossAttention(
+                heads=self.heads,
+                dim_head=self.dim_head,
+                dtype=self.dtype,
+                backend=self.attn_backend,
+                name=name,
+            )
 
         if self.ff_in:
             x_skip = x
@@ -67,13 +98,6 @@ class VideoTransformerBlock(nn.Module):
             )
             x = x + x_skip  # is_res: inner_dim == dim for Hi3D
 
-        attn = lambda name: CrossAttention(
-            heads=self.heads,
-            dim_head=self.dim_head,
-            dtype=self.dtype,
-            backend=self.attn_backend,
-            name=name,
-        )
         if self.disable_self_attn:
             x = attn("attn1")(LayerNorm32(name="norm1")(x), context=context) + x
         else:
@@ -90,7 +114,10 @@ class VideoTransformerBlock(nn.Module):
         x = x + x_skip
 
         # back to (B·T, S, C)
-        x = x.reshape(b, s, t, c).transpose(0, 2, 1, 3).reshape(b * t, s, c)
+        if four_d:
+            x = x.reshape(b * t, s, c)
+        else:
+            x = x.reshape(b, s, t, c).transpose(0, 2, 1, 3).reshape(b * t, s, c)
         return x
 
 
@@ -133,13 +160,18 @@ class SpatialVideoTransformer(nn.Module):
 
         spatial_context = context
         if self.use_spatial_context:
-            # per-video context = first frame's tokens, repeated per location
+            # per-video context = first frame's tokens; the 4-D temporal path
+            # consumes it as-is, the flattened path repeats per location
             tc_first = context.reshape(b, t, *context.shape[1:])[:, 0]
-            time_context = jnp.repeat(tc_first, h * w, axis=0)  # (B·H·W, S, C)
+            time_context = (
+                tc_first if _temporal_4d()
+                else jnp.repeat(tc_first, h * w, axis=0)  # (B·H·W, S, C)
+            )
         elif time_context is not None:
-            time_context = jnp.repeat(time_context, h * w, axis=0)
             if time_context.ndim == 2:
                 time_context = time_context[:, None, :]
+            if not _temporal_4d():
+                time_context = jnp.repeat(time_context, h * w, axis=0)
 
         x = GroupNorm32(name="norm")(x)
         if not self.use_linear:

@@ -88,3 +88,45 @@ def dot_product_attention(
     if backend == "xla":
         return xla_attention(q, k, v, scale=scale)
     raise ValueError(f"unknown attention backend {backend!r}")
+
+
+def xla_attention_time(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Attention along the FRAME axis of (B, T, S, H, D) tokens.
+
+    Avoids the (B·S, T, C) flattening of the temporal factorization: XLA's
+    layout assignment materialized the flattened rearrange as ~0.4 ms
+    bf16[8192,16,5,64] copies at every time_stack attention site (profiled
+    via tools/profile_step.py). Expressing the contraction directly over the
+    frame axis of the 4-D token tensor leaves layout choice to the compiler.
+
+    k/v are (B, Tk, S, H, D) for self-attention or (B, Sk, H, D) for
+    cross-attention against per-video context tokens (no per-location
+    repeat needed — the einsum broadcasts).
+    """
+    *_, h, d = q.shape
+    if scale is None:
+        scale = d**-0.5
+    if k.ndim == 4:  # per-video context kv
+        logits = jnp.einsum(
+            "bqshd,bkhd->bshqk", q, k, preferred_element_type=jnp.float32
+        )
+        probs = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
+        out = jnp.einsum(
+            "bshqk,bkhd->bqshd", probs.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        logits = jnp.einsum(
+            "bqshd,bkshd->bshqk", q, k, preferred_element_type=jnp.float32
+        )
+        probs = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
+        out = jnp.einsum(
+            "bshqk,bkshd->bqshd", probs.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+    return out.astype(v.dtype)

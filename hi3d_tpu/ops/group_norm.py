@@ -303,3 +303,12 @@ def _xla_group_norm(x, scale, bias, groups, eps, act):
     if act == "silu":
         y = jax.nn.silu(y)
     return y
+
+
+def _twostage_opted_in() -> bool:
+    """Pure-XLA two-stage GroupNorm stats (HI3D_GN=twostage): spatial-first
+    lane-aligned reductions via _group_stats, jnp apply left fusable. A/B'd
+    against the default flax nn.GroupNorm on the full denoise step."""
+    import os
+
+    return os.environ.get("HI3D_GN", "") == "twostage"

@@ -107,31 +107,61 @@ class ImageLogger:
 
 
 class Checkpointer:
-    """Orbax-backed sharded checkpointing with last/resume parity."""
+    """Orbax-backed sharded checkpointing with last/resume parity.
 
-    def __init__(self, logdir: str, every_n_steps: int = 3000, max_to_keep: int = 10):
+    With `monitor` set, retention keeps the best `max_to_keep` checkpoints by
+    that metric (reference ModelCheckpoint top-10 on `model.monitor`,
+    train_ddp_spawn.py:284-296); otherwise the most recent ones.
+    """
+
+    def __init__(
+        self,
+        logdir: str,
+        every_n_steps: int = 3000,
+        max_to_keep: int = 10,
+        monitor: Optional[str] = None,
+        mode: str = "min",
+    ):
         import orbax.checkpoint as ocp
 
         self.dir = os.path.join(os.path.abspath(logdir), "checkpoints")
         self.every = every_n_steps
+        self.monitor = monitor
+        opts = dict(max_to_keep=max_to_keep, create=True)
+        if monitor is not None:
+            opts["best_fn"] = lambda m: float(m.get(monitor, 0.0))
+            opts["best_mode"] = mode
         self.manager = ocp.CheckpointManager(
-            self.dir,
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
-            ),
+            self.dir, options=ocp.CheckpointManagerOptions(**opts)
         )
 
-    def save(self, step: int, state: TrainState, force: bool = False) -> None:
+    def save(
+        self,
+        step: int,
+        state: TrainState,
+        force: bool = False,
+        metrics: Optional[Dict] = None,
+    ) -> None:
         import orbax.checkpoint as ocp
 
+        kw = {}
+        if self.monitor is not None:
+            m = {k: float(v) for k, v in (metrics or {}).items()
+                 if np.isscalar(v) or np.ndim(v) == 0}
+            m.setdefault(self.monitor, 0.0)
+            kw["metrics"] = m
         self.manager.save(
-            step, args=ocp.args.StandardSave(jax.tree.map(np.asarray, state))
+            step,
+            args=ocp.args.StandardSave(jax.tree.map(np.asarray, state)),
+            **kw,
         )
         self.manager.wait_until_finished()
 
-    def maybe_save(self, step: int, state: TrainState) -> None:
+    def maybe_save(
+        self, step: int, state: TrainState, metrics: Optional[Dict] = None
+    ) -> None:
         if step and step % self.every == 0:
-            self.save(step, state)
+            self.save(step, state, metrics=metrics)
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
@@ -163,6 +193,8 @@ class Trainer:
         log_images_every: int = 200,
         log_every: int = 10,
         max_to_keep: int = 10,
+        monitor: Optional[str] = None,  # default: engine.monitor
+        monitor_mode: str = "min",
         seed: int = 0,
         grad_clip: Optional[float] = None,
         profile_steps: Optional[Tuple[int, int]] = None,  # (start, stop)
@@ -221,7 +253,11 @@ class Trainer:
         self.metrics = MetricsLogger(logdir, log_every=log_every)
         self.image_logger = ImageLogger(logdir, every_n_steps=log_images_every)
         self.checkpointer = Checkpointer(
-            logdir, every_n_steps=ckpt_every_n_steps, max_to_keep=max_to_keep
+            logdir,
+            every_n_steps=ckpt_every_n_steps,
+            max_to_keep=max_to_keep,
+            monitor=monitor or getattr(engine, "monitor", None),
+            mode=monitor_mode,
         )
         self._interrupted = False
 
@@ -303,15 +339,19 @@ class Trainer:
                     jax.profiler.stop_trace()
                 metrics = dict(metrics)
                 metrics["sec_per_step"] = time.time() - t0
+                self._last_metrics = metrics
                 self.metrics(step, metrics)
                 self.image_logger.maybe_log(
                     self._engine_with_state(), batch, step
                 )
-                self.checkpointer.maybe_save(step, self.state)
+                self.checkpointer.maybe_save(step, self.state, metrics)
         except KeyboardInterrupt:
             print("[trainer] interrupted — saving last checkpoint")
         finally:
-            self.checkpointer.save(step, self.state, force=True)
+            self.checkpointer.save(
+                step, self.state, force=True,
+                metrics=getattr(self, "_last_metrics", None),
+            )
         return self.state
 
     def _engine_with_state(self):

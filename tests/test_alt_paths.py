@@ -1,0 +1,86 @@
+"""Equivalence of the opt-in performance paths against the defaults:
+
+- HI3D_GN=twostage — pure-XLA two-stage GroupNorm statistics
+  (spatial-first lane-aligned reduction, ops/group_norm._group_stats);
+- HI3D_TEMPORAL_4D=1 — temporal attention over 4-D (B, T, S, C) tokens
+  without the (B·S, T, C) flattening (models/attention.TimeAxisCrossAttention).
+
+Both flags must be bit-compatible in structure (same param tree) and
+numerically equivalent within fp32 tolerance.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax
+import pytest
+
+from hi3d_tpu.models.layers import GroupNorm32
+from hi3d_tpu.models.video_attention import SpatialVideoTransformer
+
+
+class _env:
+    def __init__(self, **kv):
+        self.kv = kv
+
+    def __enter__(self):
+        self.old = {k: os.environ.get(k) for k in self.kv}
+        os.environ.update(self.kv)
+
+    def __exit__(self, *a):
+        for k, v in self.old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def _randomized(params, scale=0.2, seed=0):
+    flat = flax.traverse_util.flatten_dict(params["params"])
+    rng = np.random.RandomState(seed)
+    flat = {
+        k: jnp.asarray(rng.randn(*v.shape).astype(np.float32) * scale + 0.1)
+        for k, v in flat.items()
+    }
+    return {"params": flax.traverse_util.unflatten_dict(flat)}
+
+
+@pytest.mark.parametrize("act", [None, "silu"])
+@pytest.mark.parametrize("shape", [(3, 8, 8, 64), (2, 4, 6, 6, 32)])
+def test_twostage_group_norm_matches_flax(shape, act):
+    gn = GroupNorm32(act=act)
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(*shape).astype(np.float32) * 2 + 1.0
+    )
+    params = _randomized(gn.init(jax.random.PRNGKey(0), x), seed=1)
+    ref = gn.apply(params, x)
+    with _env(HI3D_GN="twostage"):
+        got = gn.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_temporal_4d_matches_flattened():
+    b, t, h, w, c = 2, 4, 8, 8, 32
+    m = SpatialVideoTransformer(
+        heads=2, dim_head=16, depth=1, use_spatial_context=True
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(b * t, h, w, c), jnp.float32)
+    ctx = jnp.asarray(np.random.RandomState(1).randn(b * t, 3, c), jnp.float32)
+    ind = jnp.zeros((b, t))
+    kw = dict(context=ctx, timesteps=t, image_only_indicator=ind)
+    params = _randomized(m.init(jax.random.PRNGKey(0), x, **kw), seed=2)
+    ref = m.apply(params, x, **kw)
+    with _env(HI3D_TEMPORAL_4D="1"):
+        got = m.apply(params, x, **kw)
+        # param tree identical under the flag
+        p4 = m.init(jax.random.PRNGKey(0), x, **kw)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+    assert jax.tree_util.tree_structure(p4) == jax.tree_util.tree_structure(
+        params
+    )

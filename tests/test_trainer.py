@@ -126,3 +126,28 @@ def test_selective_training_freezes_params(engine, render_dir, tmp_path):
     }
     assert any(v for k, v in changed.items() if "time_stack" in k)
     assert not any(v for k, v in changed.items() if "time_stack" not in k)
+
+
+def test_checkpointer_monitor_retention(tmp_path):
+    """With `monitor` set, retention keeps the best-k by metric (reference
+    ModelCheckpoint top-k on model.monitor, train_ddp_spawn.py:284-296)."""
+    import optax
+    from hi3d_tpu.training.trainer import Checkpointer
+    from hi3d_tpu.training.state import TrainState
+
+    import jax.numpy as jnp
+
+    params = {"params": {"w": jnp.ones((2,))}}
+    tx = optax.sgd(1e-3)
+    state = TrainState.create(params, tx, use_ema=False)
+
+    ck = Checkpointer(
+        str(tmp_path / "ckpt"), every_n_steps=1, max_to_keep=2,
+        monitor="loss", mode="min",
+    )
+    for step, loss in [(1, 5.0), (2, 1.0), (3, 3.0), (4, 0.5)]:
+        ck.save(step, state, metrics={"loss": loss})
+    kept = sorted(ck.manager.all_steps())
+    # best two by loss: steps 2 (1.0) and 4 (0.5)
+    assert set(kept) == {2, 4}, kept
+    assert ck.latest_step() == 4
