@@ -37,13 +37,14 @@ Dtype = Any
 
 
 def _temporal_4d() -> bool:
-    """HI3D_TEMPORAL_4D=1 keeps temporal-attention tokens 4-D (B, T, S, C)
-    instead of flattening to (B·S, T, C) — removes the per-site layout-copy
-    XLA emits for the flattened rearrange. Param trees are identical in both
-    modes. A/B'd on the full denoise step before switching the default."""
+    """Default ON: temporal-attention tokens stay 4-D (B, T, S, C) instead
+    of flattening to (B·S, T, C) — removes the ~0.4 ms layout copy XLA emits
+    per time_stack site for the flattened rearrange (HI3D_TEMPORAL_4D=0
+    reverts). Param trees are identical in both modes. Full-step A/B on the
+    v5e chip: 2.22 vs 2.16 steps/s alone, 2.25 combined with twostage GN."""
     import os
 
-    return os.environ.get("HI3D_TEMPORAL_4D", "0") == "1"
+    return os.environ.get("HI3D_TEMPORAL_4D", "1") == "1"
 
 
 class VideoTransformerBlock(nn.Module):

@@ -306,9 +306,10 @@ def _xla_group_norm(x, scale, bias, groups, eps, act):
 
 
 def _twostage_opted_in() -> bool:
-    """Pure-XLA two-stage GroupNorm stats (HI3D_GN=twostage): spatial-first
-    lane-aligned reductions via _group_stats, jnp apply left fusable. A/B'd
-    against the default flax nn.GroupNorm on the full denoise step."""
+    """Pure-XLA two-stage GroupNorm stats (the DEFAULT; HI3D_GN=flax reverts):
+    spatial-first lane-aligned reductions via _group_stats, jnp apply left
+    fusable. Full-step A/B on the v5e chip: 2.19 vs 2.16 steps/s alone,
+    2.25 combined with HI3D_TEMPORAL_4D."""
     import os
 
-    return os.environ.get("HI3D_GN", "") == "twostage"
+    return os.environ.get("HI3D_GN", "twostage") == "twostage"

@@ -1,11 +1,12 @@
 """Equivalence of the opt-in performance paths against the defaults:
 
-- HI3D_GN=twostage — pure-XLA two-stage GroupNorm statistics
-  (spatial-first lane-aligned reduction, ops/group_norm._group_stats);
-- HI3D_TEMPORAL_4D=1 — temporal attention over 4-D (B, T, S, C) tokens
-  without the (B·S, T, C) flattening (models/attention.TimeAxisCrossAttention).
+- HI3D_GN twostage (default) vs flax — pure-XLA two-stage GroupNorm
+  statistics (spatial-first lane-aligned reduction, ops/group_norm._group_stats);
+- HI3D_TEMPORAL_4D 1 (default) vs 0 — temporal attention over 4-D
+  (B, T, S, C) tokens without the (B·S, T, C) flattening
+  (models/attention.TimeAxisCrossAttention).
 
-Both flags must be bit-compatible in structure (same param tree) and
+Both modes must be bit-compatible in structure (same param tree) and
 numerically equivalent within fp32 tolerance.
 """
 
@@ -55,7 +56,8 @@ def test_twostage_group_norm_matches_flax(shape, act):
         np.random.RandomState(0).randn(*shape).astype(np.float32) * 2 + 1.0
     )
     params = _randomized(gn.init(jax.random.PRNGKey(0), x), seed=1)
-    ref = gn.apply(params, x)
+    with _env(HI3D_GN="flax"):
+        ref = gn.apply(params, x)
     with _env(HI3D_GN="twostage"):
         got = gn.apply(params, x)
     np.testing.assert_allclose(
@@ -73,7 +75,8 @@ def test_temporal_4d_matches_flattened():
     ind = jnp.zeros((b, t))
     kw = dict(context=ctx, timesteps=t, image_only_indicator=ind)
     params = _randomized(m.init(jax.random.PRNGKey(0), x, **kw), seed=2)
-    ref = m.apply(params, x, **kw)
+    with _env(HI3D_TEMPORAL_4D="0"):
+        ref = m.apply(params, x, **kw)
     with _env(HI3D_TEMPORAL_4D="1"):
         got = m.apply(params, x, **kw)
         # param tree identical under the flag
