@@ -1,0 +1,228 @@
+"""Full two-stage pipeline: single image → stage-1 orbit (16×512²) →
+stage-2 refined multi-view set (16×1024²) → CLIP/aesthetic metric scoring.
+
+The reference splits this across two CLIs run by hand
+(pipeline_i2v_eval_v01.py then pipeline_i2v_eval_v02.py, README.md:60-66)
+and uses its `ckpts/metric_models` CLIP/aesthetic towers only as
+conditioning; this runner chains both stages and additionally scores the
+generated views — per-view CLIP ViT-L cosine similarity against the input
+image and LAION aesthetic-MLP scores — writing `metrics.json` next to the
+videos (driver BASELINE.json config 4).
+
+Usage:
+  python -m hi3d_tpu.pipelines.full \\
+      --stage1_config configs/inference-v01.yaml \\
+      --stage1_checkpoint ckpts/first_stage.pt \\
+      --stage2_config configs/inference-v02.yaml \\
+      --stage2_checkpoint ckpts/second_stage.pt \\
+      --image_path demo/3.png --output_dir outputs/3 [--elevation 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.clip import clip_normalize, resize_bilinear, vit_l_14
+from ..utils.image import load_image_rgb
+from ..utils.video import import_video
+from .common import create_model
+from . import i2v, v2v
+
+
+class ViewScorer:
+    """CLIP ViT-L cosine similarity + LAION aesthetic score per view.
+
+    Towers/params are injectable for tests; by default the released
+    checkpoints (AesEmbedder paths, vtdm/encoders.py:59-63) are loaded when
+    present, else random init (scores then only measure relative drift).
+    """
+
+    def __init__(
+        self,
+        clip=None,
+        mlp=None,
+        clip_params=None,
+        mlp_params=None,
+        clip_path: str = "ckpts/ViT-L-14.pt",
+        mlp_path: str = "ckpts/metric_models/sac+logos+ava1-l14-linearMSE.pth",
+    ):
+        from ..conditioners import AestheticMLP
+
+        self.clip = clip if clip is not None else vit_l_14()
+        self.mlp = mlp if mlp is not None else AestheticMLP()
+        self.clip_params = clip_params
+        self.mlp_params = mlp_params
+        if self.clip_params is None and os.path.exists(clip_path):
+            from ..convert.torch_to_jax import load_clip_jit_visual
+
+            self.clip_params = load_clip_jit_visual(clip_path)
+        if self.mlp_params is None and os.path.exists(mlp_path):
+            from ..convert.torch_to_jax import load_aesthetic_mlp
+
+            self.mlp_params = load_aesthetic_mlp(mlp_path)
+        rng = jax.random.PRNGKey(0)
+        res = getattr(self.clip, "image_size", 224)
+        if self.clip_params is None:
+            self.clip_params = jax.jit(self.clip.init)(
+                rng, jnp.zeros((1, res, res, 3))
+            )
+        if self.mlp_params is None:
+            feat_dim = getattr(self.clip, "output_dim", 768)
+            self.mlp_params = jax.jit(self.mlp.init)(
+                rng, jnp.zeros((1, feat_dim))
+            )
+        self._res = res
+
+    def _features(self, frames_uint8: np.ndarray) -> jax.Array:
+        """(N, H, W, 3) uint8 → L2-normalized CLIP features (N, D)."""
+        x = jnp.asarray(frames_uint8, jnp.float32) / 255.0
+        x = resize_bilinear(x, (self._res, self._res))
+        x = clip_normalize(x)
+        feats = jax.jit(self.clip.apply)(self.clip_params, x)
+        feats = feats.astype(jnp.float32)
+        return feats / jnp.maximum(
+            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12
+        )
+
+    def __call__(
+        self, ref_image_uint8: np.ndarray, views_uint8: Sequence[np.ndarray]
+    ) -> Dict:
+        views = np.stack(views_uint8)
+        fv = self._features(views)
+        fr = self._features(ref_image_uint8[None])
+        sims = np.asarray(fv @ fr[0])
+        aes = np.asarray(
+            jax.jit(self.mlp.apply)(self.mlp_params, fv)
+        )[:, 0]
+        return {
+            "clip_similarity": [round(float(s), 4) for s in sims],
+            "clip_similarity_mean": round(float(sims.mean()), 4),
+            "aesthetic": [round(float(a), 4) for a in aes],
+            "aesthetic_mean": round(float(aes.mean()), 4),
+        }
+
+
+def run_two_stage(
+    stage1_model,
+    stage2_model,
+    image_path: str,
+    output_dir: str,
+    elevation: float = 0.0,
+    clip_size: int = 16,
+    stage1_resolution: Sequence[int] = (512, 512),
+    stage2_resolution: Sequence[int] = (1024, 1024),
+    seed: Optional[int] = None,
+    fps: int = 8,
+    skip_rembg: bool = False,
+    scorer: Optional[ViewScorer] = None,
+    score_views: bool = True,
+) -> Dict:
+    """Chain stage 1 → stage 2 → scoring. Returns paths + metrics."""
+    t0 = time.time()
+    first_mp4 = i2v.run_pipeline(
+        stage1_model,
+        image_path,
+        output_dir,
+        elevation=elevation,
+        clip_size=clip_size,
+        resolution=stage1_resolution,
+        seed=seed,
+        fps=fps,
+        skip_rembg=skip_rembg,
+    )
+    t1 = time.time()
+    white = os.path.join(output_dir, "temp_image", "white.png")
+    if not os.path.exists(white):
+        white = image_path  # rembg skipped/unavailable
+    second_mp4 = v2v.run_pipeline(
+        stage2_model,
+        white,
+        first_mp4,
+        output_dir,
+        elevation=elevation,
+        clip_size=clip_size,
+        resolution=stage2_resolution,
+        seed=seed,
+        fps=fps,
+    )
+    t2 = time.time()
+
+    result: Dict = {
+        "first_mp4": first_mp4,
+        "second_mp4": second_mp4,
+        "stage1_sec": round(t1 - t0, 2),
+        "stage2_sec": round(t2 - t1, 2),
+        "total_sec": round(t2 - t0, 2),
+    }
+    if score_views:
+        scorer = scorer if scorer is not None else ViewScorer()
+        views = import_video(second_mp4, max_frames=clip_size)
+        ref = load_image_rgb(white)
+        result["metrics"] = scorer(ref, views)
+    with open(os.path.join(output_dir, "metrics.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    return result
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    p = argparse.ArgumentParser(
+        description="Hi3D full two-stage: image → 16×1024² multi-view set"
+    )
+    p.add_argument("--stage1_config", default="configs/inference-v01.yaml")
+    p.add_argument("--stage1_checkpoint", default="ckpts/first_stage.pt")
+    p.add_argument("--stage2_config", default="configs/inference-v02.yaml")
+    p.add_argument("--stage2_checkpoint", default="ckpts/second_stage.pt")
+    p.add_argument("--image_path", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--elevation", type=float, default=0.0)
+    p.add_argument("--clip_size", type=int, default=16)
+    p.add_argument("--stage1_resolution", type=int, nargs=2, default=[512, 512])
+    p.add_argument("--stage2_resolution", type=int, nargs=2, default=[1024, 1024])
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--fps", type=int, default=8)
+    p.add_argument("--skip_rembg", action="store_true")
+    p.add_argument("--no_metrics", action="store_true")
+    args = p.parse_args(argv)
+
+    def _load(config_path, ckpt_path, res):
+        model, _ = create_model(config_path)
+        model.init(latent_hw=(res // 8, res // 8), num_frames=2)
+        if ckpt_path and os.path.exists(ckpt_path):
+            model.init_from_ckpt(ckpt_path)
+        else:
+            print(f"[full] checkpoint {ckpt_path!r} not found — random "
+                  "weights (smoke mode)")
+        model.cast_weights_to_compute_dtype()
+        return model
+
+    m1 = _load(args.stage1_config, args.stage1_checkpoint,
+               args.stage1_resolution[0])
+    m2 = _load(args.stage2_config, args.stage2_checkpoint,
+               args.stage2_resolution[0])
+    result = run_two_stage(
+        m1,
+        m2,
+        args.image_path,
+        args.output_dir,
+        elevation=args.elevation,
+        clip_size=args.clip_size,
+        stage1_resolution=args.stage1_resolution,
+        stage2_resolution=args.stage2_resolution,
+        seed=args.seed,
+        fps=args.fps,
+        skip_rembg=args.skip_rembg,
+        score_views=not args.no_metrics,
+    )
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
