@@ -66,6 +66,13 @@ def dot_product_attention(
     backend: str = "auto",
 ) -> jax.Array:
     """(B, Sq, H, D) × (B, Sk, H, D) → (B, Sq, H, D)."""
+    if k.shape[1] == 1:
+        # single kv token (Hi3D cross-attn against one CLIP embedding):
+        # softmax over one key is identically 1, so attention == v broadcast
+        # over queries — QKᵀ/softmax/PV all vanish exactly.
+        return jnp.broadcast_to(
+            v.astype(v.dtype), (v.shape[0], q.shape[1], *v.shape[2:])
+        )
     backend = os.environ.get("HI3D_ATTN_BACKEND", backend)  # perf A/B hook
     if backend == "auto":
         from .flash_attention import DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q
@@ -111,6 +118,13 @@ def xla_attention_time(
     *_, h, d = q.shape
     if scale is None:
         scale = d**-0.5
+    if k.shape[1] == 1:
+        # one kv token → softmax ≡ 1 → output is v broadcast (see
+        # dot_product_attention); holds for both kv ranks.
+        if v.ndim == 5:  # (B, 1, S, H, D) frame-axis kv
+            return jnp.broadcast_to(v, q.shape)
+        # (B, 1, H, D) per-video context kv → over frames and locations
+        return jnp.broadcast_to(v[:, :, None], q.shape)
     if k.ndim == 4:  # per-video context kv
         logits = jnp.einsum(
             "bqshd,bkhd->bshqk", q, k, preferred_element_type=jnp.float32

@@ -87,3 +87,36 @@ def test_temporal_4d_matches_flattened():
     assert jax.tree_util.tree_structure(p4) == jax.tree_util.tree_structure(
         params
     )
+
+
+def test_single_kv_token_attention_shortcut_exact():
+    """Softmax over one key is identically 1 → attention == v broadcast.
+
+    Hi3D's cross-attention always has exactly one CLIP kv token
+    (VideoPredictionEmbedder n_copies collapse, reference guiders/conditioner
+    wiring), so the shortcut path must be bit-exact vs the full einsum."""
+    from hi3d_tpu.ops.attention import (
+        dot_product_attention,
+        xla_attention,
+        xla_attention_time,
+    )
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(3, 7, 2, 4), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 1, 2, 4), jnp.float32)
+    v = jnp.asarray(rng.randn(3, 1, 2, 4), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(dot_product_attention(q, k, v)),
+        np.asarray(xla_attention(q, k, v)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+    qt = jnp.asarray(rng.randn(2, 4, 5, 2, 3), jnp.float32)
+    kt = jnp.asarray(rng.randn(2, 1, 2, 3), jnp.float32)
+    vt = jnp.asarray(rng.randn(2, 1, 2, 3), jnp.float32)
+    out = xla_attention_time(qt, kt, vt)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.broadcast_to(np.asarray(vt)[:, :, None], qt.shape),
+        rtol=1e-6,
+    )
