@@ -27,6 +27,18 @@ from .layers import GroupNorm32
 Dtype = Any
 
 
+def _ln_matmul() -> bool:
+    """HI3D_LN=matmul computes LayerNorm statistics as (M, C)·(C, 8) MXU
+    matmuls instead of VPU cross-lane reductions. XLA lowers the lane-axis
+    reduce as a ~7-step in-register shuffle tree, which profiles ~6× off HBM
+    speed at the UNet's LN sites (~140 ms/step total, tools/profile_step.py);
+    the MXU contracts the lane dimension natively. Opt-in pending full-step
+    A/B."""
+    import os
+
+    return os.environ.get("HI3D_LN", "") == "matmul"
+
+
 class LayerNorm32(nn.Module):
     """LayerNorm computed in fp32, cast back to input dtype (eps matches torch)."""
 
@@ -34,6 +46,25 @@ class LayerNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if _ln_matmul():
+            from .layers import _NormParams
+
+            c = x.shape[-1]
+            scale, bias = _NormParams(c, name="norm")()
+            xf = x.astype(jnp.float32)
+            rows = xf.reshape(-1, c)
+            # (C, 8) ones-in-column-0 keeps XLA from canonicalizing the dot
+            # back into a reduce; the 7 zero columns are free next to the
+            # HBM-bound read of x
+            w = jnp.zeros((c, 8), jnp.float32).at[:, 0].set(1.0)
+            s1 = jax.lax.dot(rows, w)[:, 0].reshape(x.shape[:-1])
+            s2 = jax.lax.dot(rows * rows, w)[:, 0].reshape(x.shape[:-1])
+            mean = s1 / c
+            var = jnp.maximum(s2 / c - mean * mean, 0.0)
+            inv = jax.lax.rsqrt(var + self.epsilon)
+            y = (xf - mean[..., None]) * inv[..., None]
+            y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+            return y.astype(x.dtype)
         y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, name="norm")(
             x.astype(jnp.float32)
         )

@@ -120,3 +120,27 @@ def test_single_kv_token_attention_shortcut_exact():
         np.broadcast_to(np.asarray(vt)[:, :, None], qt.shape),
         rtol=1e-6,
     )
+
+
+def test_matmul_layer_norm_matches_flax():
+    """HI3D_LN=matmul (MXU-contracted LayerNorm statistics) must match the
+    flax LayerNorm formulation within fp32 tolerance, with an identical
+    param tree."""
+    from hi3d_tpu.models.attention import LayerNorm32
+
+    ln = LayerNorm32()
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(4, 6, 64).astype(np.float32) * 3 + 2
+    )
+    params = _randomized(ln.init(jax.random.PRNGKey(0), x), seed=3)
+    with _env(HI3D_LN=""):
+        ref = ln.apply(params, x)
+    with _env(HI3D_LN="matmul"):
+        got = ln.apply(params, x)
+        p2 = ln.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5
+    )
+    assert jax.tree_util.tree_structure(p2) == jax.tree_util.tree_structure(
+        params
+    )

@@ -1,0 +1,84 @@
+"""Stage-2 denoise-step benchmark: CFG-doubled VideoUNet forward over a
+16-frame video at 1024² (128×128 latent, 17 input channels: 4 latent + 9
+depth + 4 cond-video latent, adm 512 — reference configs/train-v02.yaml:35-38).
+
+This is the per-sampler-step device work of the stage-2 refinement loop
+(pipeline_i2v_eval_v02.py:127-135). Spatial attention runs at 16384 tokens
+per frame — the flash-kernel regime. Prints ONE JSON line (same schema as
+bench.py; complements the driver's stage-1 metric in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+T, H, W = 16, 128, 128
+STEPS = 4
+WARMUP = 1
+
+
+def main() -> None:
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from hi3d_tpu.diffusion.denoiser import Denoiser
+    from hi3d_tpu.models.wrappers import ConcatConditionWrapper
+    from __graft_entry__ import _unet, _zero_params
+
+    dtype = jnp.bfloat16
+    # stage-2 adm = elevation 256 + cond_aug 256 (train-v02.yaml:35)
+    model = _unet(scale=1.0, in_channels=17, dtype=dtype, adm_in_channels=512)
+    bt = 2 * T
+
+    x = jnp.zeros((bt, H, W, 4), dtype)
+    concat = jnp.zeros((bt, H, W, model.in_channels - 4), dtype)
+    ctx = jnp.zeros((2, 1, model.context_dim), dtype)
+    y = jnp.zeros((2, model.adm_in_channels), dtype)
+    ind = jnp.zeros((2, T))
+    sigma = jnp.full((bt,), 1.0, jnp.float32)
+
+    params = _zero_params(
+        model,
+        jnp.concatenate([x, concat], axis=-1),
+        jnp.zeros((bt,)),
+        context=ctx,
+        y=y,
+        num_video_frames=T,
+        image_only_indicator=ind,
+    )
+
+    wrapper = ConcatConditionWrapper(model)
+    denoiser = Denoiser(
+        {"target": "sgm.modules.diffusionmodules.denoiser_scaling.VScalingWithEDMcNoise"}
+    )
+
+    @jax.jit
+    def step(params, x, sigma, concat, ctx, y):
+        network = wrapper.bind(
+            params, num_video_frames=T, image_only_indicator=ind
+        )
+        return denoiser(
+            network, x, sigma, {"concat": concat, "crossattn": ctx, "vector": y}
+        )
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(step(params, x, sigma, concat, ctx, y))
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = step(params, x, sigma, concat, ctx, y)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / STEPS
+    print(json.dumps({
+        "metric": "unet_denoise_steps_per_sec_chip_stage2_1024",
+        "value": round(1.0 / dt, 4),
+        "unit": "steps/sec/chip",
+        "sec_per_step": round(dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
