@@ -88,3 +88,49 @@ class OrbitServer:
             jnp.clip(decoded, -1.0, 1.0), dtype=np.float32
         ).reshape(b, t, h, w, 3)
         return out
+
+
+class RefineServer:
+    """Stage-2 multi-asset latent-blending refinement over a mesh.
+
+    Shards the B·T frame axis of the blend loop (v2v.blend_refine_batch)
+    across the "data" mesh axis: the α-blend, VAE encode/decode, spatial
+    attention, and convs are frame-local; only the UNet's temporal attention
+    regroups frames (ICI all-to-all). With B=1, T=16 on a v5e-8 this is the
+    single-asset latency path of the <60 s two-stage target."""
+
+    def __init__(self, model, mesh=None):
+        self.model = model
+        self.mesh = mesh if mesh is not None else get_mesh()
+
+    def refine(
+        self,
+        videos: np.ndarray,  # (B, T, H, W, 3) in [-1, 1]
+        elevations: Optional[Sequence[float]] = None,
+        masks: Optional[np.ndarray] = None,
+        rng: Optional[jax.Array] = None,
+        steps_per_launch: Optional[int] = 8,
+    ) -> np.ndarray:
+        from .v2v import blend_refine_batch
+
+        b, t = videos.shape[:2]
+        n = self.mesh.shape["data"]
+        if (b * t) % n:
+            raise ValueError(
+                f"batch×frames {b}·{t} not divisible by data axis {n}"
+            )
+
+        def shard(v):
+            if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] % n == 0:
+                return jax.device_put(v, batch_sharding(self.mesh, v.ndim))
+            return v
+
+        return blend_refine_batch(
+            self.model,
+            videos,
+            masks=masks,
+            elevations=elevations,
+            rng=rng,
+            steps_per_launch=steps_per_launch,
+            shard=shard,
+        )

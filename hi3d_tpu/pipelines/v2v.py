@@ -58,38 +58,73 @@ def blend_refine(
     """frames (T, H, W, 3) in [-1,1] → refined (T, H, W, 3) in [-1,1]."""
     t = model.num_samples
     assert frames.shape[0] == t, (frames.shape, t)
-    h, w = frames.shape[1:3]
+    out = blend_refine_batch(
+        model,
+        np.asarray(frames)[None],
+        masks=None if masks is None else np.asarray(masks)[None],
+        elevations=[elevation],
+        rng=rng,
+        steps_per_launch=steps_per_launch,
+    )
+    return out[0]
+
+
+def blend_refine_batch(
+    model,
+    videos: np.ndarray,  # (B, T, H, W, 3) in [-1, 1]
+    masks: Optional[np.ndarray] = None,  # (B, T, H, W)
+    elevations: Optional[Sequence[float]] = None,
+    rng: Optional[jax.Array] = None,
+    steps_per_launch: Optional[int] = 8,
+    shard=None,  # callable applied to per-frame arrays (mesh placement)
+) -> np.ndarray:
+    """Batched stage-2 latent-blending refinement: B assets at once.
+
+    The whole loop is per-frame-parallel apart from the UNet's temporal
+    attention, so sharding the B·T leading axis over a mesh (see
+    serve.RefineServer) scales it to N chips with only the frame-axis
+    regroup crossing ICI."""
+    b, t = videos.shape[:2]
+    assert t == model.num_samples, (videos.shape, model.num_samples)
     if rng is None:
         rng = model.next_rng()
     r_custom, r_init = jax.random.split(rng)
+    shard = shard if shard is not None else (lambda x: x)
 
     sampler = model.sampler
     num_steps = sampler.num_steps
     sigmas = sampler.discretization(num_steps)  # (num_steps+1,) fp32
     num_sigmas = int(sigmas.shape[0])
 
-    batch: Dict = {"video": jnp.asarray(frames)[None],
-                   "elevation": jnp.asarray([elevation], jnp.float32)}
+    batch: Dict = {
+        "video": jnp.asarray(videos),
+        "elevation": jnp.asarray(
+            elevations if elevations is not None else [0.0] * b, jnp.float32
+        ),
+    }
     if masks is not None:
-        batch["masks"] = jnp.asarray(masks)[None]
+        batch["masks"] = jnp.asarray(masks)
     batch = model.add_custom_cond(batch, infer=True, rng=r_custom)
 
     c, uc = model.conditioner.get_unconditional_conditioning(
         batch, force_uc_zero_embeddings=list(UC_ZERO_KEYS)
     )
+    c = jax.tree.map(shard, c)
+    uc = jax.tree.map(shard, uc)
 
     # per-frame latents of the conditioning video (fp32 VAE)
-    z = model.encode_first_stage(jnp.asarray(frames))  # (T, h/8, w/8, 4)
+    flat = shard(jnp.asarray(videos).reshape(b * t, *videos.shape[2:]))
+    z = model.encode_first_stage(flat)  # (B·T, h/8, w/8, 4)
     z = z.astype(jnp.float32)
 
-    init_noise = jax.random.normal(r_init, z.shape, jnp.float32)
+    init_noise = shard(jax.random.normal(r_init, z.shape, jnp.float32))
     latents = init_noise * jnp.sqrt(1.0 + sigmas[0] ** 2.0)
 
-    indicator = jnp.zeros((2, t))
+    indicator = jnp.zeros((2 * b, t))
     denoiser_fn = model.make_denoiser_fn(
         num_video_frames=t, image_only_indicator=indicator
     )
-    s_in = jnp.ones((t,), jnp.float32)
+    s_in = jnp.ones((b * t,), jnp.float32)
     dtype = model.compute_dtype
 
     def body(carry, i):
@@ -117,7 +152,8 @@ def blend_refine(
     for s0 in range(0, n, chunk):
         latents = run_segment(latents, idx[s0 : s0 + chunk])
     decoded = model.decode_first_stage(latents.astype(dtype))
-    return np.asarray(jnp.clip(decoded, -1.0, 1.0), dtype=np.float32)
+    out = np.asarray(jnp.clip(decoded, -1.0, 1.0), dtype=np.float32)
+    return out.reshape(b, t, *out.shape[1:])
 
 
 def prepare_inputs(
