@@ -280,6 +280,18 @@ def _leaf_and_transform(path: Path, torch_key: str, value: np.ndarray):
         # embedding tables keep their (rows, width) layout
         return (), torch_key.split(".")[0], value
 
+    if path and path[-1] == "_embed_or_linear_":
+        # 2-D UNet label_emb: int-class nn.Embedding (num_classes, dim) →
+        # flax nn.Embed 'embedding' (no transpose); continuous-mode Linear
+        # weight is (dim, 1) → Dense 'kernel' (transposed). Disambiguated by
+        # shape: only the Linear has a trailing singleton in-dim.
+        path = path[:-1]
+        if leaf_src == "bias":
+            return path, "bias", value
+        if value.ndim == 2 and value.shape[1] == 1:
+            return path, "kernel", value.T
+        return path, "embedding", value
+
     if path and path[-1] == "time_mixer":
         return path, "mix_factor", value
 
@@ -690,7 +702,7 @@ def convert_unet2d_key(key: str) -> Optional[Path]:
     if parts[0] == "label_emb":
         if len(parts) >= 3 and parts[1].isdigit():
             return (f"label_emb_{parts[1]}_{parts[2]}",)
-        return ("label_emb",)  # continuous-mode Linear
+        return ("label_emb", "_embed_or_linear_")
     if parts[0] == "out":
         return ("out_0", _NORM) if parts[1] == "0" else ("out_2",)
     if parts[0] in ("input_blocks", "output_blocks", "middle_block"):

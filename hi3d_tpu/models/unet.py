@@ -356,6 +356,10 @@ class UNetModel(nn.Module):
 
     def _heads_for(self, ch: int) -> Tuple[int, int]:
         if self.num_head_channels == -1:
+            if self.num_heads == -1:
+                raise ValueError(
+                    "either num_heads or num_head_channels must be set"
+                )
             return self.num_heads, ch // self.num_heads
         return ch // self.num_head_channels, self.num_head_channels
 

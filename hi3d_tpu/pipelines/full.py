@@ -80,13 +80,15 @@ class ViewScorer:
                 rng, jnp.zeros((1, feat_dim))
             )
         self._res = res
+        self._clip_fwd = jax.jit(self.clip.apply)
+        self._mlp_fwd = jax.jit(self.mlp.apply)
 
     def _features(self, frames_uint8: np.ndarray) -> jax.Array:
         """(N, H, W, 3) uint8 → L2-normalized CLIP features (N, D)."""
         x = jnp.asarray(frames_uint8, jnp.float32) / 255.0
         x = resize_bilinear(x, (self._res, self._res))
         x = clip_normalize(x)
-        feats = jax.jit(self.clip.apply)(self.clip_params, x)
+        feats = self._clip_fwd(self.clip_params, x)
         feats = feats.astype(jnp.float32)
         return feats / jnp.maximum(
             jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12
@@ -99,9 +101,7 @@ class ViewScorer:
         fv = self._features(views)
         fr = self._features(ref_image_uint8[None])
         sims = np.asarray(fv @ fr[0])
-        aes = np.asarray(
-            jax.jit(self.mlp.apply)(self.mlp_params, fv)
-        )[:, 0]
+        aes = np.asarray(self._mlp_fwd(self.mlp_params, fv))[:, 0]
         return {
             "clip_similarity": [round(float(s), 4) for s in sims],
             "clip_similarity_mean": round(float(sims.mean()), 4),

@@ -26,6 +26,19 @@ from ..parallel.mesh import batch_sharding, get_mesh
 from .i2v import UC_ZERO_KEYS
 
 
+def _mesh_put(mesh):
+    """Per-array placement: shard the leading axis over "data" when it
+    divides, replicate otherwise. Shared by both servers."""
+    n = mesh.shape["data"]
+
+    def put(v):
+        if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] % n == 0:
+            return jax.device_put(v, batch_sharding(mesh, v.ndim))
+        return v
+
+    return put
+
+
 class OrbitServer:
     """Stage-1 multi-asset orbital-video generation over a mesh."""
 
@@ -34,14 +47,7 @@ class OrbitServer:
         self.mesh = mesh if mesh is not None else get_mesh()
 
     def _shard(self, tree: Dict) -> Dict:
-        n = self.mesh.shape["data"]
-
-        def put(v):
-            if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] % n == 0:
-                return jax.device_put(v, batch_sharding(self.mesh, v.ndim))
-            return v
-
-        return jax.tree.map(put, tree)
+        return jax.tree.map(_mesh_put(self.mesh), tree)
 
     def generate(
         self,
@@ -120,11 +126,6 @@ class RefineServer:
                 f"batch×frames {b}·{t} not divisible by data axis {n}"
             )
 
-        def shard(v):
-            if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] % n == 0:
-                return jax.device_put(v, batch_sharding(self.mesh, v.ndim))
-            return v
-
         return blend_refine_batch(
             self.model,
             videos,
@@ -132,5 +133,5 @@ class RefineServer:
             elevations=elevations,
             rng=rng,
             steps_per_launch=steps_per_launch,
-            shard=shard,
+            shard=_mesh_put(self.mesh),
         )

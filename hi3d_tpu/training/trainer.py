@@ -98,6 +98,15 @@ class ImageLogger:
         os.makedirs(self.dir, exist_ok=True)
         for key, vid in media.items():
             for i in range(min(len(vid), self.max_videos)):
+                if np.ndim(vid[i]) == 3:  # image entry (e.g. 'conditioning')
+                    import imageio
+
+                    img = ((np.asarray(vid[i]) + 1.0) * 127.5).clip(0, 255)
+                    imageio.imwrite(
+                        os.path.join(self.dir, f"step{step:08d}_{key}_{i}.png"),
+                        img.astype(np.uint8),
+                    )
+                    continue
                 frames = tensor2vid(vid[i])
                 export_to_video(
                     frames,
@@ -127,6 +136,7 @@ class Checkpointer:
         self.dir = os.path.join(os.path.abspath(logdir), "checkpoints")
         self.every = every_n_steps
         self.monitor = monitor
+        self.mode = mode
         opts = dict(max_to_keep=max_to_keep, create=True)
         if monitor is not None:
             opts["best_fn"] = lambda m: float(m.get(monitor, 0.0))
@@ -148,7 +158,10 @@ class Checkpointer:
         if self.monitor is not None:
             m = {k: float(v) for k, v in (metrics or {}).items()
                  if np.isscalar(v) or np.ndim(v) == 0}
-            m.setdefault(self.monitor, 0.0)
+            # a save without the metric (e.g. crash before the first step)
+            # must rank WORST, not best
+            m.setdefault(self.monitor, float("inf") if self.mode == "min"
+                         else float("-inf"))
             kw["metrics"] = m
         self.manager.save(
             step,

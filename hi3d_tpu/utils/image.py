@@ -109,7 +109,7 @@ def remove_background(path: str, out_rgba: str, out_white: str) -> str:
         params = load_u2net(ckpt)
         full = "u2netp" not in ckpt.rsplit("/", 1)[-1]
         model = U2Net(full=full)
-        img = cv2.imread(path, cv2.IMREAD_COLOR)[..., ::-1]  # BGR → RGB
+        img = load_image_rgb(path)  # RGBA composited to white, missing → raise
         mask = np.asarray(segment(model, params, img))
         return _write_rgba_outputs(img, mask, out_rgba, out_white)
 

@@ -100,3 +100,59 @@ def test_registry_alias():
         ),
     })
     assert isinstance(m, UNetModel)
+
+
+def test_int_class_label_emb_conversion():
+    """torch nn.Embedding label_emb ↔ flax nn.Embed 'embedding' param."""
+    import flax
+    import numpy as np
+    import torch as _torch
+
+    emb = _torch.nn.Embedding(10, 16)
+    sd = {"label_emb.weight": emb.weight.detach().numpy()}
+    params = convert_state_dict(sd, convert_unet2d_key, strict=True)
+    flat = flax.traverse_util.flatten_dict(params["params"])
+    assert ("label_emb", "embedding") in flat
+    assert flat[("label_emb", "embedding")].shape == (10, 16)
+
+    # continuous-mode Linear (dim, 1) still maps to a transposed Dense kernel
+    sd = {"label_emb.weight": np.zeros((16, 1), np.float32),
+          "label_emb.bias": np.zeros((16,), np.float32)}
+    params = convert_state_dict(sd, convert_unet2d_key, strict=True)
+    flat = flax.traverse_util.flatten_dict(params["params"])
+    assert flat[("label_emb", "kernel")].shape == (1, 16)
+    assert flat[("label_emb", "bias")].shape == (16,)
+
+
+def test_heads_unset_raises():
+    m = UNetModel(
+        in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
+        attention_resolutions=[1], channel_mult=[1],
+    )
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="num_heads"):
+        jax.eval_shape(
+            lambda: m.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                jnp.zeros((1,)),
+            )
+        )
+
+
+def test_int_class_unet_forward():
+    import jax
+    import jax.numpy as jnp
+
+    m = UNetModel(
+        in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
+        attention_resolutions=[], channel_mult=[1], num_heads=2,
+        num_classes=7,
+    )
+    x = jnp.zeros((2, 8, 8, 4))
+    y = jnp.asarray([1, 5])
+    p = m.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)), y=y)
+    out = m.apply(p, x, jnp.zeros((2,)), y=y)
+    assert out.shape == (2, 8, 8, 4)
