@@ -122,3 +122,32 @@ def test_class_embedder_and_rescaler():
     vid = SpatialRescaler(n_stages=1, multiplier=0.5, wrap_video=True)
     out = vid(jnp.ones((2, 4, 16, 16, 3)))
     assert out.shape == (2, 4, 8, 8, 3)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("name,in_ch,adm", [
+    ("inference-v01.yaml", 8, 768),
+    ("inference-v02.yaml", 17, 512),
+    ("train-v01.yaml", 8, 768),
+    ("train-v02.yaml", 17, 512),
+])
+def test_shipped_configs_instantiate(name, in_ch, adm):
+    """The four reference-schema YAMLs build the full module graph (no param
+    init — cheap) with the documented channel wiring (SURVEY.md §2.4:
+    stage-1 4+4 concat / adm 768; stage-2 4+9+4 / adm 512)."""
+    import os
+
+    from hi3d_tpu.pipelines.common import create_model
+
+    path = os.path.join(os.path.dirname(__file__), "..", "configs", name)
+    model, cfg = create_model(path)
+    assert model.model.in_channels == in_ch
+    assert model.model.adm_in_channels == adm
+    assert model.model.model_channels == 320
+    assert model.sampler is not None
+    assert model.conditioner is not None and len(model.conditioner.embedders) >= 3
+    if name.startswith("train"):
+        assert model.loss_fn is not None
+        assert "data" in cfg
