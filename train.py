@@ -83,6 +83,14 @@ def main(argv=None) -> None:
     data_cfg = cfg.get("data")
     if data_cfg is None:
         raise ValueError("config needs a `data:` section")
+    # reference DDP semantics: data.params.batch_size is PER-DEVICE
+    # (train-v01.yaml:9 — each rank loads its own batch); the
+    # single-controller loader must yield the whole local batch, so scale by
+    # the local device count. LR scaling below stays in per-device units.
+    per_device_bs = int(data_cfg.get("params", {}).get("batch_size", 1))
+    data_cfg = dict(data_cfg)
+    data_cfg["params"] = dict(data_cfg.get("params", {}))
+    data_cfg["params"]["batch_size"] = per_device_bs * jax.local_device_count()
     data = instantiate_from_config(data_cfg)
     data.setup()
 
@@ -112,10 +120,14 @@ def main(argv=None) -> None:
         logdir=logdir,
         scale_lr=args.scale_lr,
         accumulate_grad_batches=trainer_cfg.get("accumulate_grad_batches", 1),
-        batch_size=data.batch_size,
+        batch_size=per_device_bs,
         ckpt_every_n_steps=ckpt_cfg.get("every_n_train_steps", 3000),
         log_images_every=img_cb.get("batch_frequency", 200),
         max_to_keep=ckpt_cfg.get("save_top_k", 10),
+        # ModelCheckpoint monitors model.monitor when set
+        # (reference train_ddp_spawn.py:293-295)
+        monitor=ckpt_cfg.get("monitor"),
+        monitor_mode=ckpt_cfg.get("mode", "min"),
         seed=args.seed,
     )
 
