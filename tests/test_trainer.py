@@ -151,3 +151,23 @@ def test_checkpointer_monitor_retention(tmp_path):
     # best two by loss: steps 2 (1.0) and 4 (0.5)
     assert set(kept) == {2, 4}, kept
     assert ck.latest_step() == 4
+
+
+def test_resolve_data_batch_per_device_semantics():
+    """train.py scales the loader batch by local devices (DDP parity) while
+    keeping per-device units for LR scaling; the input config is not
+    mutated."""
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from train import resolve_data_batch
+
+    cfg = {"target": "x", "params": {"batch_size": 2, "width": 64}}
+    scaled, per_dev = resolve_data_batch(cfg, 8)
+    assert per_dev == 2
+    assert scaled["params"]["batch_size"] == 16
+    assert scaled["params"]["width"] == 64
+    assert cfg["params"]["batch_size"] == 2  # untouched
+
+    scaled, per_dev = resolve_data_batch({"target": "x"}, 4)
+    assert (per_dev, scaled["params"]["batch_size"]) == (1, 4)

@@ -45,6 +45,19 @@ def parse_args(argv=None):
     return p.parse_known_args(argv)
 
 
+def resolve_data_batch(data_cfg: dict, local_device_count: int):
+    """Reference DDP semantics: data.params.batch_size is PER-DEVICE
+    (train-v01.yaml:9 — each rank loads its own batch). The
+    single-controller loader must yield the whole local batch, so the
+    instantiated config gets batch_size × local devices while LR scaling
+    stays in per-device units. Returns (scaled_cfg, per_device_bs)."""
+    per_device_bs = int(data_cfg.get("params", {}).get("batch_size", 1))
+    data_cfg = dict(data_cfg)
+    data_cfg["params"] = dict(data_cfg.get("params", {}))
+    data_cfg["params"]["batch_size"] = per_device_bs * local_device_count
+    return data_cfg, per_device_bs
+
+
 def main(argv=None) -> None:
     import jax
 
@@ -83,14 +96,9 @@ def main(argv=None) -> None:
     data_cfg = cfg.get("data")
     if data_cfg is None:
         raise ValueError("config needs a `data:` section")
-    # reference DDP semantics: data.params.batch_size is PER-DEVICE
-    # (train-v01.yaml:9 — each rank loads its own batch); the
-    # single-controller loader must yield the whole local batch, so scale by
-    # the local device count. LR scaling below stays in per-device units.
-    per_device_bs = int(data_cfg.get("params", {}).get("batch_size", 1))
-    data_cfg = dict(data_cfg)
-    data_cfg["params"] = dict(data_cfg.get("params", {}))
-    data_cfg["params"]["batch_size"] = per_device_bs * jax.local_device_count()
+    data_cfg, per_device_bs = resolve_data_batch(
+        data_cfg, jax.local_device_count()
+    )
     data = instantiate_from_config(data_cfg)
     data.setup()
 
