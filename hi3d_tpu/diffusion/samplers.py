@@ -24,7 +24,11 @@ TPU-native design decisions:
 
 The `denoiser` argument is a callable ``denoiser(x, sigma, cond) -> denoised``
 — i.e. hi3d_tpu.diffusion.denoiser.Denoiser already closed over the network
-and any additional model inputs.
+and any additional model inputs. The EDM family additionally accepts a
+param-threaded form (``denoiser(extras, x, sigma, cond)`` with ``extras=``
+passed to __call__): the engine uses it so the UNet weights enter the jitted
+scan as XLA arguments rather than being baked into the executable as
+constants, which would hold a second full copy of the weights in HBM.
 """
 
 from __future__ import annotations
@@ -176,7 +180,18 @@ class EDMSampler(SingleStepDiffusionSampler):
         )
 
     # -- full loop ---------------------------------------------------------
-    def __call__(self, denoiser, x, cond, uc=None, num_steps=None, rng=None):
+    def __call__(
+        self, denoiser, x, cond, uc=None, num_steps=None, rng=None, extras=None
+    ):
+        """Full sampling loop.
+
+        `denoiser` is either the legacy closure ``fn(x, sigma, cond)`` or —
+        when `extras` is given — a param-threaded ``fn(extras, x, sigma,
+        cond)`` (engine.make_denoiser_fn_p). The threaded form passes the
+        weights (and any other big arrays in `extras`) into the jitted scan
+        as XLA *arguments*; the closure form bakes them into the executable
+        as constants, doubling their HBM footprint.
+        """
         x, s_in, sigmas, num_sigmas, cond, uc = self.prepare_sampling_loop(
             x, cond, uc, num_steps
         )
@@ -200,6 +215,17 @@ class EDMSampler(SingleStepDiffusionSampler):
         if rng is None:
             rng = jax.random.PRNGKey(0)
         step_rngs = jax.random.split(rng, n)
+        xs = (sigmas[:-1], sigmas[1:], jnp.asarray(gammas), step_rngs)
+        chunk = self.steps_per_launch
+
+        if extras is not None:
+            runner = self._threaded_runner(denoiser)
+            if not chunk or chunk >= n:
+                return runner(extras, x, xs, s_in, cond, uc)
+            for s0 in range(0, n, chunk):
+                seg = jax.tree.map(lambda v: v[s0 : s0 + chunk], xs)
+                x = runner(extras, x, seg, s_in, cond, uc)
+            return x
 
         def body(carry, inp):
             sigma, next_sigma, gamma, srng = inp
@@ -209,8 +235,6 @@ class EDMSampler(SingleStepDiffusionSampler):
             )
             return out, None
 
-        xs = (sigmas[:-1], sigmas[1:], jnp.asarray(gammas), step_rngs)
-        chunk = self.steps_per_launch
         if not chunk or chunk >= n:
             x, _ = lax.scan(body, x, xs)
             return x
@@ -226,6 +250,34 @@ class EDMSampler(SingleStepDiffusionSampler):
             seg = jax.tree.map(lambda v: v[s0 : s0 + chunk], xs)
             x = run_segment(x, seg)
         return x
+
+    def _threaded_runner(self, dfn):
+        """Cached jitted scan-segment runner for a param-threaded denoiser.
+
+        Keyed by the denoiser function object (engine caches those per frame
+        count), so repeated sample() calls reuse ONE compiled executable per
+        segment shape instead of recompiling."""
+        cache = getattr(self, "_runner_cache", None)
+        if cache is None:
+            cache = self._runner_cache = {}
+        if dfn not in cache:
+
+            def run(extras, x, seg, s_in, cond, uc):
+                den = lambda xx, ss, cc: dfn(extras, xx, ss, cc)
+
+                def body(carry, inp):
+                    sigma, next_sigma, gamma, srng = inp
+                    out = self.sampler_step(
+                        s_in * sigma, s_in * next_sigma, den, carry, cond, uc,
+                        gamma, rng=srng,
+                    )
+                    return out, None
+
+                out, _ = lax.scan(body, x, seg)
+                return out
+
+            cache[dfn] = jax.jit(run)
+        return cache[dfn]
 
 
 class EulerEDMSampler(EDMSampler):

@@ -233,6 +233,35 @@ class DiffusionEngine:
     def bound_network(self, params=None, **static_kwargs):
         return self.wrapper.bind(default(params, self.params), **static_kwargs)
 
+    def make_denoiser_fn_p(self, num_video_frames: int):
+        """Param-threaded denoiser: fn(extras, x, sigma, cond) with
+        extras = (params, image_only_indicator).
+
+        Unlike make_denoiser_fn's closure, nothing array-valued is captured:
+        when a sampler jits its scan segments, the weights arrive as XLA
+        *arguments* instead of being baked into the executable as constants
+        (which would keep a second full copy of the UNet in HBM — the
+        difference between fitting and OOMing a 16 GB chip at 512²).
+        Cached per frame count so jitted callers retrace only on new shapes.
+        """
+        key = int(num_video_frames)
+        cache = getattr(self, "_dfn_p_cache", None)
+        if cache is None:
+            cache = self._dfn_p_cache = {}
+        if key not in cache:
+
+            def dfn(extras, x, sigma, cond):
+                params, indicator = extras
+                network = self.wrapper.bind(
+                    params,
+                    num_video_frames=key,
+                    image_only_indicator=indicator,
+                )
+                return self.denoiser(network, x, sigma, cond)
+
+            cache[key] = dfn
+        return cache[key]
+
     def make_denoiser_fn(
         self,
         params=None,
@@ -274,10 +303,19 @@ class DiffusionEngine:
         if image_only_indicator is None:
             # doubled for the CFG batch
             image_only_indicator = jnp.zeros((2 * (shape[0] // t), t))
+        randn = randn.astype(self.compute_dtype)
+        use_params = default(params, self.params)
+        import inspect
+
+        if "extras" in inspect.signature(self.sampler.__call__).parameters:
+            dfn = self.make_denoiser_fn_p(t)
+            return self.sampler(
+                dfn, randn, cond, uc=uc, rng=r_steps,
+                extras=(use_params, image_only_indicator),
+            )
         denoiser_fn = self.make_denoiser_fn(
             params, num_video_frames=t, image_only_indicator=image_only_indicator
         )
-        randn = randn.astype(self.compute_dtype)
         return self.sampler(denoiser_fn, randn, cond, uc=uc, rng=r_steps)
 
 

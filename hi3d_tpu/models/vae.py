@@ -332,13 +332,34 @@ class AutoencoderKL:
         self.params = self.module.init(rng, x)  # __call__ = encode + decode
         return self.params
 
+    def _applier(self, name: str, method):
+        """Cached jitted module.apply with params as an XLA argument.
+
+        Eager apply dispatches the conv graph op-by-op (pathological through
+        the TPU tunnel) and holds every intermediate alive — a 16-frame fp32
+        decode at 512² held several GB of un-fused temporaries. One jit per
+        method; retraces only on new input shapes. When already under an
+        outer trace, jit inlines."""
+        import functools
+
+        cache = getattr(self, "_apply_cache", None)
+        if cache is None:
+            cache = self._apply_cache = {}
+        if name not in cache:
+            cache[name] = jax.jit(
+                functools.partial(self.module.apply, method=method)
+            )
+        return cache[name]
+
     def encode(
         self,
         x: jax.Array,
         rng: Optional[jax.Array] = None,
         return_posterior: bool = False,
     ):
-        moments = self.module.apply(self.params, x, method=self.module.encode_moments)
+        moments = self._applier("encode_moments", self.module.encode_moments)(
+            self.params, x
+        )
         posterior = DiagonalGaussianDistribution(moments)
         if self.sample_posterior and rng is not None:
             z = posterior.sample(rng)
@@ -349,7 +370,7 @@ class AutoencoderKL:
         return z
 
     def decode(self, z: jax.Array) -> jax.Array:
-        return self.module.apply(self.params, z, method=self.module.decode)
+        return self._applier("decode", self.module.decode)(self.params, z)
 
     def decode_tiled(
         self,

@@ -125,10 +125,17 @@ def run_two_stage(
     scorer: Optional[ViewScorer] = None,
     score_views: bool = True,
 ) -> Dict:
-    """Chain stage 1 → stage 2 → scoring. Returns paths + metrics."""
+    """Chain stage 1 → stage 2 → scoring. Returns paths + metrics.
+
+    Either stage accepts a built model or a zero-arg factory; factories are
+    built just-in-time and released after their stage so both 1.5B-param
+    UNets (plus towers) are never resident together — required on 16 GB
+    chips."""
     t0 = time.time()
+    owns1 = callable(stage1_model)
+    m1 = stage1_model() if owns1 else stage1_model
     first_mp4 = i2v.run_pipeline(
-        stage1_model,
+        m1,
         image_path,
         output_dir,
         elevation=elevation,
@@ -138,12 +145,16 @@ def run_two_stage(
         fps=fps,
         skip_rembg=skip_rembg,
     )
+    if owns1:
+        m1 = None  # free stage-1 weights/towers before stage 2 loads
     t1 = time.time()
     white = os.path.join(output_dir, "temp_image", "white.png")
     if not os.path.exists(white):
         white = image_path  # rembg skipped/unavailable
+    owns2 = callable(stage2_model)
+    m2 = stage2_model() if owns2 else stage2_model
     second_mp4 = v2v.run_pipeline(
-        stage2_model,
+        m2,
         white,
         first_mp4,
         output_dir,
@@ -153,6 +164,8 @@ def run_two_stage(
         seed=seed,
         fps=fps,
     )
+    if owns2:
+        m2 = None
     t2 = time.time()
 
     result: Dict = {
@@ -203,13 +216,11 @@ def main(argv: Optional[List[str]] = None) -> None:
         model.cast_weights_to_compute_dtype()
         return model
 
-    m1 = _load(args.stage1_config, args.stage1_checkpoint,
-               args.stage1_resolution[0])
-    m2 = _load(args.stage2_config, args.stage2_checkpoint,
-               args.stage2_resolution[0])
     result = run_two_stage(
-        m1,
-        m2,
+        lambda: _load(args.stage1_config, args.stage1_checkpoint,
+                      args.stage1_resolution[0]),
+        lambda: _load(args.stage2_config, args.stage2_checkpoint,
+                      args.stage2_resolution[0]),
         args.image_path,
         args.output_dir,
         elevation=args.elevation,

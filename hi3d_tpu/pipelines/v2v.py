@@ -121,21 +121,12 @@ def blend_refine_batch(
     latents = init_noise * jnp.sqrt(1.0 + sigmas[0] ** 2.0)
 
     indicator = jnp.zeros((2 * b, t))
-    denoiser_fn = model.make_denoiser_fn(
-        num_video_frames=t, image_only_indicator=indicator
-    )
+    # param-threaded denoiser: weights/conds enter the jitted scan as XLA
+    # arguments, not baked executable constants (see engine.make_denoiser_fn_p)
+    dfn = model.make_denoiser_fn_p(t)
     s_in = jnp.ones((b * t,), jnp.float32)
     dtype = model.compute_dtype
-
-    def body(carry, i):
-        lat = carry
-        alpha = (0.5 * (1.0 + jnp.cos(i / num_steps))) ** ALPHA_POW
-        source = init_noise * sigmas[i] + z
-        lat = lat * (1.0 - alpha) + source * alpha
-        lat = sampler.step_call(
-            denoiser_fn, lat.astype(dtype), i, s_in, sigmas, num_sigmas, c, uc
-        ).astype(jnp.float32)
-        return lat, None
+    use_params = model.params
 
     # the 25-step 1024² scan runs >60 s of device time in one executable,
     # which trips single-launch watchdogs; split it into several launches of
@@ -145,12 +136,26 @@ def blend_refine_batch(
     idx = jnp.arange(n)
 
     @jax.jit
-    def run_segment(lat, seg_idx):
+    def run_segment(params, lat, seg_idx, z, init_noise, c, uc):
+        den = lambda xx, ss, cc: dfn((params, indicator), xx, ss, cc)
+
+        def body(carry, i):
+            lat = carry
+            alpha = (0.5 * (1.0 + jnp.cos(i / num_steps))) ** ALPHA_POW
+            source = init_noise * sigmas[i] + z
+            lat = lat * (1.0 - alpha) + source * alpha
+            lat = sampler.step_call(
+                den, lat.astype(dtype), i, s_in, sigmas, num_sigmas, c, uc
+            ).astype(jnp.float32)
+            return lat, None
+
         lat, _ = jax.lax.scan(body, lat, seg_idx)
         return lat
 
     for s0 in range(0, n, chunk):
-        latents = run_segment(latents, idx[s0 : s0 + chunk])
+        latents = run_segment(
+            use_params, latents, idx[s0 : s0 + chunk], z, init_noise, c, uc
+        )
     decoded = model.decode_first_stage(latents.astype(dtype))
     out = np.asarray(jnp.clip(decoded, -1.0, 1.0), dtype=np.float32)
     return out.reshape(b, t, *out.shape[1:])

@@ -241,3 +241,30 @@ def test_steps_per_launch_matches_single_scan():
     np.testing.assert_allclose(
         np.asarray(full), np.asarray(chunked), rtol=1e-6, atol=1e-7
     )
+
+
+def test_threaded_extras_matches_closure():
+    """The param-threaded sampler path (extras= argument, weights enter the
+    jitted scan as XLA arguments) is numerically identical to the legacy
+    closure path, with and without steps_per_launch chunking."""
+    key = jax.random.PRNGKey(7)
+    x0 = jax.random.normal(key, (4, 4, 8, 8), dtype=jnp.float32)
+
+    def dfn_threaded(extras, x, sigma, cond):
+        (w,), _ = extras
+        return w * x / (1.0 + append_dims(sigma, x.ndim))
+
+    w = jnp.float32(0.9)
+    extras = ((w,), None)
+
+    for chunk in (None, 3):
+        sampler = EulerEDMSampler(
+            num_steps=8, discretization_config=DISC, steps_per_launch=chunk
+        )
+        ref = sampler(
+            lambda x, s, c: w * toy_denoiser(x, s, c), x0, cond={}, uc=None
+        )
+        out = sampler(dfn_threaded, x0, cond={}, uc=None, extras=extras)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
+        )
