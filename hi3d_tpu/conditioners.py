@@ -55,6 +55,20 @@ from .utils.misc import append_dims
 CondDict = Dict[str, jax.Array]
 
 
+def _jitted(owner, name: str, fn):
+    """Cache a jitted tower forward on the embedder instance.
+
+    Tower applies (CLIP ViT-H/L, DPT, T5/CLIP text, cond-VAE) were running
+    eagerly — thousands of per-op dispatches through the ~6 ms TPU tunnel,
+    minutes of wall clock per pipeline run. One jit per tower; retraces only
+    on new input shapes; inlines when already under an outer trace."""
+    cache = owner.__dict__.setdefault("_jit_cache", {})
+    if name not in cache:
+        cache[name] = jax.jit(fn)
+    return cache[name]
+
+
+
 class AbstractEmbedder:
     """Base class: config wiring (input_key / ucg_rate / is_trainable) plus a
     __call__ producing one conditioning array."""
@@ -213,7 +227,11 @@ class FrozenOpenCLIPImageEmbedder(AbstractEmbedder):
         return clip_normalize((x + 1.0) / 2.0)
 
     def __call__(self, image, rng=None) -> jax.Array:
-        z = self.module.apply(self.params, self.preprocess(image))
+        fwd = _jitted(
+            self, "visual",
+            lambda p, img: self.module.apply(p, self.preprocess(img)),
+        )
+        z = fwd(self.params, image)
         if self.unsqueeze_dim:
             z = z[:, None, :]
         return z
@@ -349,16 +367,25 @@ class AesEmbedder(AbstractEmbedder):
         # video: (B, T, H, W, C) in [-1, 1]; middle frame, 224×384 bilinear,
         # center 224 crop (cols 80:304), CLIP renorm (vtdm/encoders.py:77-85)
         t = video.shape[1]
-        y = video[:, t // 2]
-        y = resize_bilinear(y, (224, 384))[:, :, 80:304, :]
-        y = clip_normalize((y + 1.0) * 0.5)
-        feats = self.clip.apply(self.clip_params, y)  # (B, 768)
-        # L2 normalize (reference round-trips via numpy `normalized`)
-        norm = jnp.linalg.norm(feats.astype(jnp.float32), axis=-1, keepdims=True)
-        feats = feats / jnp.maximum(norm, 1e-12).astype(feats.dtype)
-        score = self.mlp.apply(self.mlp_params, feats)  # (B, 1)
-        emb = timestep_embedding(score[:, 0] * 100.0, 255)
-        return jnp.concatenate([score, emb.astype(score.dtype)], axis=-1)  # (B, 256)
+
+        def fwd(cp, mp, frame):
+            y = resize_bilinear(frame, (224, 384))[:, :, 80:304, :]
+            y = clip_normalize((y + 1.0) * 0.5)
+            feats = self.clip.apply(cp, y)  # (B, 768)
+            # L2 normalize (reference round-trips via numpy `normalized`)
+            norm = jnp.linalg.norm(
+                feats.astype(jnp.float32), axis=-1, keepdims=True
+            )
+            feats = feats / jnp.maximum(norm, 1e-12).astype(feats.dtype)
+            score = self.mlp.apply(mp, feats)  # (B, 1)
+            emb = timestep_embedding(score[:, 0] * 100.0, 255)
+            return jnp.concatenate(
+                [score, emb.astype(score.dtype)], axis=-1
+            )  # (B, 256)
+
+        return _jitted(self, "aes", fwd)(
+            self.clip_params, self.mlp_params, video[:, t // 2]
+        )
 
 
 class DepthEmbedder(AbstractEmbedder):
@@ -407,7 +434,8 @@ class DepthEmbedder(AbstractEmbedder):
         sh = int(hh / self.scale_factor / 32) * 32
         sw = int(ww / self.scale_factor / 32) * 32
         y = resize_bilinear(x, (sh, sw))
-        y = self.model.apply(self.params, y)  # (B·T, sh, sw) inverse depth
+        y = _jitted(self, "dpt", self.model.apply)(self.params, y)
+        # (B·T, sh, sw) inverse depth
         y = y[..., None]
         y = resize_bilinear(y, (hh // 8 * s, ww // 8 * s))
         # per-frame min-max normalize
@@ -627,7 +655,9 @@ class FrozenOpenCLIPEmbedder(AbstractEmbedder):
                 "bundled); pass pre-tokenized int32 ids of shape (B, 77)"
             )
         ids = jnp.asarray(text, jnp.int32)
-        pooled, _, extras = self.module.apply(self.params, ids)
+        pooled, _, extras = _jitted(self, "text", self.module.apply)(
+            self.params, ids
+        )
         if self.layer == "pooled":
             out = pooled
         elif self.layer == "last":
@@ -697,7 +727,9 @@ class FrozenCLIPEmbedder(AbstractEmbedder):
                 "bundled); pass pre-tokenized int32 ids of shape (B, 77)"
             )
         ids = jnp.asarray(text, jnp.int32)
-        _, _, extras = self.module.apply(self.params, ids)
+        _, _, extras = _jitted(self, "text", self.module.apply)(
+            self.params, ids
+        )
         final = extras["final"]  # (B, L, D), post final-layer-norm
         eot = jnp.argmax(ids, axis=-1)
         pooler = final[jnp.arange(final.shape[0]), eot]  # unprojected EOT
@@ -870,7 +902,9 @@ class GaussianEncoder(AbstractEmbedder):
             self.params = jax.jit(self.module.init)(rng, x)
 
     def __call__(self, x, rng=None):
-        moments = self.module.apply(self.params, jnp.asarray(x))
+        moments = _jitted(self, "enc", self.module.apply)(
+            self.params, jnp.asarray(x)
+        )
         z, log = self.posterior(moments, rng=rng)
         log = dict(log)
         log["loss"] = log["kl_loss"]
