@@ -135,25 +135,34 @@ def blend_refine_batch(
     chunk = _largest_divisor_at_most(n, steps_per_launch or n)
     idx = jnp.arange(n)
 
-    @jax.jit
-    def run_segment(params, lat, seg_idx, z, init_noise, c, uc):
-        den = lambda xx, ss, cc: dfn((params, indicator), xx, ss, cc)
+    # the jitted segment runner is cached on the engine per shape key —
+    # re-jitting a fresh closure every call cost ~25 s of retracing per
+    # asset in serving
+    key = ("blend", b, t, z.shape[1], z.shape[2], num_steps, chunk)
+    cache = model.__dict__.setdefault("_blend_runner_cache", {})
+    if key not in cache:
 
-        def body(carry, i):
-            lat = carry
-            alpha = (0.5 * (1.0 + jnp.cos(i / num_steps))) ** ALPHA_POW
-            source = init_noise * sigmas[i] + z
-            lat = lat * (1.0 - alpha) + source * alpha
-            lat = sampler.step_call(
-                den, lat.astype(dtype), i, s_in, sigmas, num_sigmas, c, uc
-            ).astype(jnp.float32)
-            return lat, None
+        def run_segment(params, lat, seg_idx, z, init_noise, c, uc):
+            den = lambda xx, ss, cc: dfn((params, indicator), xx, ss, cc)
 
-        lat, _ = jax.lax.scan(body, lat, seg_idx)
-        return lat
+            def body(carry, i):
+                lat = carry
+                alpha = (0.5 * (1.0 + jnp.cos(i / num_steps))) ** ALPHA_POW
+                source = init_noise * sigmas[i] + z
+                lat = lat * (1.0 - alpha) + source * alpha
+                lat = sampler.step_call(
+                    den, lat.astype(dtype), i, s_in, sigmas, num_sigmas, c, uc
+                ).astype(jnp.float32)
+                return lat, None
 
+            lat, _ = jax.lax.scan(body, lat, seg_idx)
+            return lat
+
+        cache[key] = jax.jit(run_segment)
+
+    run = cache[key]
     for s0 in range(0, n, chunk):
-        latents = run_segment(
+        latents = run(
             use_params, latents, idx[s0 : s0 + chunk], z, init_noise, c, uc
         )
     decoded = model.decode_first_stage(latents.astype(dtype))
