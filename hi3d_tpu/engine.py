@@ -45,6 +45,17 @@ DEFAULT_WRAPPER = {
 }
 
 
+@functools.lru_cache(maxsize=32)
+def _sampler_signature(cls):
+    import inspect
+
+    return frozenset(inspect.signature(cls.__call__).parameters)
+
+
+def _sampler_call_params(sampler):
+    return _sampler_signature(type(sampler))
+
+
 class DiffusionEngine:
     def __init__(
         self,
@@ -305,9 +316,7 @@ class DiffusionEngine:
             image_only_indicator = jnp.zeros((2 * (shape[0] // t), t))
         randn = randn.astype(self.compute_dtype)
         use_params = default(params, self.params)
-        import inspect
-
-        if "extras" in inspect.signature(self.sampler.__call__).parameters:
+        if "extras" in _sampler_call_params(self.sampler):
             dfn = self.make_denoiser_fn_p(t)
             return self.sampler(
                 dfn, randn, cond, uc=uc, rng=r_steps,

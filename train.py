@@ -58,12 +58,25 @@ def resolve_data_batch(data_cfg: dict, local_device_count: int):
     return data_cfg, per_device_bs
 
 
+def maybe_init_distributed() -> None:
+    """Multi-host: initialize the JAX distributed runtime when a coordinator
+    is configured (reference analog: PL/NCCL rank env wiring,
+    train_ddp_spawn.py:159-162). No-op for single-host runs."""
+    import jax
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+
+
 def main(argv=None) -> None:
     import jax
 
     from hi3d_tpu.config import apply_dotlist, instantiate_from_config, load_config
     from hi3d_tpu.training.trainer import Trainer
 
+    maybe_init_distributed()
     args, unknown = parse_args(argv)
     overrides = [u for u in unknown if "=" in u]
 
