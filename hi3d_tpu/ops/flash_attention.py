@@ -41,6 +41,8 @@ import os
 DEFAULT_BLOCK_Q = int(os.environ.get("HI3D_FLASH_BLOCK_Q", 1024))
 DEFAULT_BLOCK_K = int(os.environ.get("HI3D_FLASH_BLOCK_K", 1024))
 _NEG_INF = -1e30  # avoid actual -inf: exp(-inf - -inf) = nan on first block
+_LOG2_E = 1.4426950408889634  # scores scaled into the exp2 domain (fwd kernel)
+_LN_2 = 0.6931471805599453
 
 
 def _interpret() -> bool:
@@ -62,18 +64,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    # dots stay in the input dtype (bf16 MXU rate) with fp32 accumulation;
-    # scale applies to the fp32 scores so no precision is lost
-    s = scale * jax.lax.dot_general(
+    # dots stay in the input dtype (bf16 MXU rate) with fp32 accumulation.
+    # The online softmax runs in the exp2 domain: folding log2(e) into the
+    # score scale turns every VPU exp(x) (= exp2(x·log2e), one extra multiply
+    # per score element) into a bare exp2 — the S² exponentials are the VPU
+    # floor of the kernel. The emitted lse converts back to natural-log
+    # units so the backward kernels are unchanged.
+    s = (scale * _LOG2_E) * jax.lax.dot_general(
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (bq, bk)
+    )  # (bq, bk), log2-domain
 
     m_prev = m_scr[:, :1]
     m_curr = jnp.max(s, axis=-1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_curr)
-    corr = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next)
+    corr = jnp.exp2(m_prev - m_next)
+    p = jnp.exp2(s - m_next)
     l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
     m_scr[:, :1] = m_next
     acc_scr[...] = acc_scr[...] * corr + jax.lax.dot(
@@ -84,7 +90,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
     def _():
         l = l_scr[:, :1]
         o_ref[0] = (acc_scr[...] / l).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[:, :1] + jnp.log(l)
+        # natural-log lse: m·ln2 + log(l)
+        lse_ref[0] = m_scr[:, :1] * _LN_2 + jnp.log(l)
 
 
 def _fwd(q3, k3, v3, scale, block_q, block_k):
@@ -139,11 +146,11 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     delta = delta_ref[0]                           # (bq, 1)
     dt = q_ref.dtype
 
-    s = scale * jax.lax.dot_general(
+    s = (scale * _LOG2_E) * jax.lax.dot_general(
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                              # (bq, bk)
-    p = jnp.exp(s - lse)
+    )                                              # (bq, bk), log2-domain
+    p = jnp.exp2(s - lse * _LOG2_E)
     # dv += pᵀ dO
     dv_scr[...] += jax.lax.dot_general(
         p.astype(dt), do_ref[0], (((0,), (0,)), ((), ())),
@@ -179,11 +186,11 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     delta = delta_ref[0]
     dt = q_ref.dtype
 
-    s = scale * jax.lax.dot_general(
+    s = (scale * _LOG2_E) * jax.lax.dot_general(
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    p = jnp.exp(s - lse)
+    p = jnp.exp2(s - lse * _LOG2_E)
     dp = jax.lax.dot_general(
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
