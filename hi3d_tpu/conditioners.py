@@ -62,10 +62,9 @@ def _jitted(owner, name: str, fn):
     eagerly — thousands of per-op dispatches through the ~6 ms TPU tunnel,
     minutes of wall clock per pipeline run. One jit per tower; retraces only
     on new input shapes; inlines when already under an outer trace."""
-    cache = owner.__dict__.setdefault("_jit_cache", {})
-    if name not in cache:
-        cache[name] = jax.jit(fn)
-    return cache[name]
+    from .utils.misc import instance_jit
+
+    return instance_jit(owner, name, fn)
 
 
 

@@ -257,10 +257,9 @@ class EDMSampler(SingleStepDiffusionSampler):
         Keyed by the denoiser function object (engine caches those per frame
         count), so repeated sample() calls reuse ONE compiled executable per
         segment shape instead of recompiling."""
-        cache = getattr(self, "_runner_cache", None)
-        if cache is None:
-            cache = self._runner_cache = {}
-        if dfn not in cache:
+        from ..utils.misc import instance_cache
+
+        def make():
 
             def run(extras, x, seg, s_in, cond, uc):
                 den = lambda xx, ss, cc: dfn(extras, xx, ss, cc)
@@ -276,8 +275,9 @@ class EDMSampler(SingleStepDiffusionSampler):
                 out, _ = lax.scan(body, x, seg)
                 return out
 
-            cache[dfn] = jax.jit(run)
-        return cache[dfn]
+            return jax.jit(run)
+
+        return instance_cache(self, ("runner", dfn), make)
 
 
 class EulerEDMSampler(EDMSampler):

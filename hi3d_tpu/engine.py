@@ -255,12 +255,11 @@ class DiffusionEngine:
         difference between fitting and OOMing a 16 GB chip at 512²).
         Cached per frame count so jitted callers retrace only on new shapes.
         """
-        key = int(num_video_frames)
-        cache = getattr(self, "_dfn_p_cache", None)
-        if cache is None:
-            cache = self._dfn_p_cache = {}
-        if key not in cache:
+        from .utils.misc import instance_cache
 
+        key = int(num_video_frames)
+
+        def make():
             def dfn(extras, x, sigma, cond):
                 params, indicator = extras
                 network = self.wrapper.bind(
@@ -270,8 +269,9 @@ class DiffusionEngine:
                 )
                 return self.denoiser(network, x, sigma, cond)
 
-            cache[key] = dfn
-        return cache[key]
+            return dfn
+
+        return instance_cache(self, ("dfn_p", key), make)
 
     def make_denoiser_fn(
         self,

@@ -57,8 +57,14 @@ class LayerNorm32(nn.Module):
             # back into a reduce; the 7 zero columns are free next to the
             # HBM-bound read of x
             w = jnp.zeros((c, 8), jnp.float32).at[:, 0].set(1.0)
-            s1 = jax.lax.dot(rows, w)[:, 0].reshape(x.shape[:-1])
-            s2 = jax.lax.dot(rows * rows, w)[:, 0].reshape(x.shape[:-1])
+            # HIGHEST keeps the fp32 operands un-truncated on the MXU —
+            # DEFAULT would round mean/variance inputs to bf16 on TPU
+            s1 = jax.lax.dot(
+                rows, w, precision=jax.lax.Precision.HIGHEST
+            )[:, 0].reshape(x.shape[:-1])
+            s2 = jax.lax.dot(
+                rows * rows, w, precision=jax.lax.Precision.HIGHEST
+            )[:, 0].reshape(x.shape[:-1])
             mean = s1 / c
             var = jnp.maximum(s2 / c - mean * mean, 0.0)
             inv = jax.lax.rsqrt(var + self.epsilon)

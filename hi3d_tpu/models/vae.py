@@ -342,14 +342,11 @@ class AutoencoderKL:
         outer trace, jit inlines."""
         import functools
 
-        cache = getattr(self, "_apply_cache", None)
-        if cache is None:
-            cache = self._apply_cache = {}
-        if name not in cache:
-            cache[name] = jax.jit(
-                functools.partial(self.module.apply, method=method)
-            )
-        return cache[name]
+        from ..utils.misc import instance_jit
+
+        return instance_jit(
+            self, name, functools.partial(self.module.apply, method=method)
+        )
 
     def encode(
         self,

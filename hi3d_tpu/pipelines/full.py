@@ -147,6 +147,11 @@ def run_two_stage(
     )
     if owns1:
         m1 = None  # free stage-1 weights/towers before stage 2 loads
+        # the engine participates in reference cycles (denoiser/runner caches
+        # close over it) — collect now so HBM frees before stage 2 allocates
+        import gc
+
+        gc.collect()
     t1 = time.time()
     white = os.path.join(output_dir, "temp_image", "white.png")
     if not os.path.exists(white):
@@ -166,6 +171,9 @@ def run_two_stage(
     )
     if owns2:
         m2 = None
+        import gc
+
+        gc.collect()
     t2 = time.time()
 
     result: Dict = {

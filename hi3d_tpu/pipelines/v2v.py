@@ -138,9 +138,11 @@ def blend_refine_batch(
     # the jitted segment runner is cached on the engine per shape key —
     # re-jitting a fresh closure every call cost ~25 s of retracing per
     # asset in serving
+    from ..utils.misc import instance_cache
+
     key = ("blend", b, t, z.shape[1], z.shape[2], num_steps, chunk)
-    cache = model.__dict__.setdefault("_blend_runner_cache", {})
-    if key not in cache:
+
+    def make():
 
         def run_segment(params, lat, seg_idx, z, init_noise, c, uc):
             den = lambda xx, ss, cc: dfn((params, indicator), xx, ss, cc)
@@ -158,9 +160,9 @@ def blend_refine_batch(
             lat, _ = jax.lax.scan(body, lat, seg_idx)
             return lat
 
-        cache[key] = jax.jit(run_segment)
+        return jax.jit(run_segment)
 
-    run = cache[key]
+    run = instance_cache(model, key, make)
     for s0 in range(0, n, chunk):
         latents = run(
             use_params, latents, idx[s0 : s0 + chunk], z, init_noise, c, uc

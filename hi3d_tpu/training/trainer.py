@@ -95,24 +95,29 @@ class ImageLogger:
         except Exception as e:  # logging must never kill training
             print(f"[image_log] skipped at step {step}: {e}")
             return
-        os.makedirs(self.dir, exist_ok=True)
-        for key, vid in media.items():
-            for i in range(min(len(vid), self.max_videos)):
-                if np.ndim(vid[i]) == 3:  # image entry (e.g. 'conditioning')
-                    import imageio
+        try:
+            os.makedirs(self.dir, exist_ok=True)
+            for key, vid in media.items():
+                for i in range(min(len(vid), self.max_videos)):
+                    if np.ndim(vid[i]) == 3:  # image entry ('conditioning')
+                        import imageio
 
-                    img = ((np.asarray(vid[i]) + 1.0) * 127.5).clip(0, 255)
-                    imageio.imwrite(
-                        os.path.join(self.dir, f"step{step:08d}_{key}_{i}.png"),
-                        img.astype(np.uint8),
+                        img = ((np.asarray(vid[i]) + 1.0) * 127.5).clip(0, 255)
+                        imageio.imwrite(
+                            os.path.join(
+                                self.dir, f"step{step:08d}_{key}_{i}.png"
+                            ),
+                            img.astype(np.uint8),
+                        )
+                        continue
+                    frames = tensor2vid(vid[i])
+                    export_to_video(
+                        frames,
+                        os.path.join(self.dir, f"step{step:08d}_{key}_{i}.mp4"),
+                        fps=self.fps,
                     )
-                    continue
-                frames = tensor2vid(vid[i])
-                export_to_video(
-                    frames,
-                    os.path.join(self.dir, f"step{step:08d}_{key}_{i}.mp4"),
-                    fps=self.fps,
-                )
+        except Exception as e:  # logging must never kill training
+            print(f"[image_log] export failed at step {step}: {e}")
 
 
 class Checkpointer:
@@ -276,13 +281,28 @@ class Trainer:
 
     # ----------------------------------------------------------- utilities
     def _device_batch(self, batch: Dict) -> Dict:
-        return {
-            k: jnp.asarray(v)
-            for k, v in batch.items()
+        """Host batch → device arrays.
+
+        Multi-host: each process's loader yields its LOCAL rows (per-device
+        bs × local devices, seeded per process); they are assembled into one
+        logically-global array via make_array_from_process_local_data so the
+        mesh-sharded step sees the full global batch. Single-host: plain
+        device arrays (the jitted step's in_shardings place them)."""
+        from ..parallel.mesh import batch_sharding
+
+        multi = jax.process_count() > 1
+        out = {}
+        for k, v in batch.items():
             # strings and python-int statics (num_video_frames) stay host-side
-            if k not in ARRAY_BATCH_KEYS_DROP
-            and not isinstance(v, (str, list, int))
-        }
+            if k in ARRAY_BATCH_KEYS_DROP or isinstance(v, (str, list, int)):
+                continue
+            if multi and np.ndim(v) >= 1:
+                out[k] = jax.make_array_from_process_local_data(
+                    batch_sharding(self.mesh, np.ndim(v)), np.asarray(v)
+                )
+            else:
+                out[k] = jnp.asarray(v)
+        return out
 
     def _install_signal_handler(self):
         # SIGUSR1 → checkpoint (reference train_ddp_spawn.py:417-427 "melk")

@@ -53,3 +53,21 @@ class Identity:
 def count_params(params) -> int:
     """Total number of scalar parameters in a pytree."""
     return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+
+
+def instance_cache(owner, key, factory):
+    """Memoize `factory()` on `owner` under `key` (one `_misc_cache` dict per
+    instance). Shared idiom for per-instance jitted callables and
+    param-threaded closures — tower forwards, VAE appliers, sampler segment
+    runners, blend runners — so cache policy lives in one place."""
+    cache = owner.__dict__.setdefault("_misc_cache", {})
+    if key not in cache:
+        cache[key] = factory()
+    return cache[key]
+
+
+def instance_jit(owner, key, fn):
+    """`jax.jit(fn)` cached on `owner` under `key` (see instance_cache)."""
+    import jax
+
+    return instance_cache(owner, key, lambda: jax.jit(fn))
