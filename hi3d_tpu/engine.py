@@ -394,6 +394,11 @@ class VideoLDM(DiffusionEngine):
         """
 
         def loss_fn(params, batch: Dict, rng: jax.Array) -> jax.Array:
+            from .training.state import freeze_frozen
+
+            params = freeze_frozen(
+                params, tuple(getattr(self, "trained_param_keys", ("all",)))
+            )
             r_cond, r_loss = jax.random.split(rng)
             video = batch[self.input_key]  # (B, T, H, W, C)
             b, t = video.shape[:2]

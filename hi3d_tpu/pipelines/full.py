@@ -208,6 +208,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--stage1_resolution", type=int, nargs=2, default=[512, 512])
     p.add_argument("--stage2_resolution", type=int, nargs=2, default=[1024, 1024])
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="write a jax.profiler trace of the run here")
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--skip_rembg", action="store_true")
     p.add_argument("--no_metrics", action="store_true")
@@ -224,6 +226,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         model.cast_weights_to_compute_dtype()
         return model
 
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     result = run_two_stage(
         lambda: _load(args.stage1_config, args.stage1_checkpoint,
                       args.stage1_resolution[0]),
@@ -240,6 +244,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         skip_rembg=args.skip_rembg,
         score_views=not args.no_metrics,
     )
+    if args.profile_dir:
+        jax.profiler.stop_trace()
     print(json.dumps(result, indent=2))
 
 

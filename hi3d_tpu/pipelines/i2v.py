@@ -142,6 +142,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--resolution", type=int, nargs=2, default=[512, 512])
     p.add_argument("--num_iter", type=int, default=1)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="write a jax.profiler trace of the run here")
     p.add_argument("--skip_rembg", action="store_true")
     args = p.parse_args(argv)
 
@@ -157,6 +159,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     model.cast_weights_to_compute_dtype()  # inference .half() parity
     print(f"[i2v] model ready in {time.time() - t0:.1f}s")
 
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
     t0 = time.time()
     out = run_pipeline(
         model,
@@ -169,6 +175,10 @@ def main(argv: Optional[List[str]] = None) -> None:
         seed=args.seed,
         skip_rembg=args.skip_rembg,
     )
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
     print(f"[i2v] wrote {out} in {time.time() - t0:.1f}s")
 
 

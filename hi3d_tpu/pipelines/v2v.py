@@ -235,6 +235,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--resolution", type=int, nargs=2, default=[1024, 1024])
     p.add_argument("--num_iter", type=int, default=1)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="write a jax.profiler trace of the run here")
     args = p.parse_args(argv)
 
     video_path = args.video_path or os.path.join(
@@ -253,6 +255,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     print(f"[v2v] model ready in {time.time() - t0:.1f}s")
 
     t0 = time.time()
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     out = run_pipeline(
         model,
         args.image_path,
@@ -264,6 +268,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         num_iter=args.num_iter,
         seed=args.seed,
     )
+    if args.profile_dir:
+        jax.profiler.stop_trace()
     print(f"[v2v] wrote {out} in {time.time() - t0:.1f}s")
 
 

@@ -106,6 +106,15 @@ def test_selective_training_freezes_params(engine, render_dir, tmp_path):
     mesh = make_mesh(data=2, devices=None)
 
     engine.trained_param_keys = [".time_stack."]
+    # the UNet's final conv is zero-initialized, which makes every upstream
+    # gradient exactly zero at init (output ≡ 0); seed it so gradients flow
+    # regardless of which test warmed the module-scoped engine first
+    import jax.numpy as jnp
+
+    k = engine.params["params"]["out_2"]["kernel"]
+    engine.params["params"]["out_2"]["kernel"] = (
+        jax.random.normal(jax.random.PRNGKey(42), k.shape, k.dtype) * 0.02
+    )
     before = jax.tree.map(np.asarray, engine.params)
     try:
         trainer = Trainer(
