@@ -135,3 +135,119 @@ class RefineServer:
             steps_per_launch=steps_per_launch,
             shard=_mesh_put(self.mesh),
         )
+
+
+class TwoStageServer:
+    """Pipeline-parallel two-stage serving: each stage pinned to its own
+    submesh so a pod runs both models resident simultaneously (a single
+    16 GB chip cannot — full.run_two_stage loads them sequentially instead).
+
+    Device split rationale: stage-2 does ~4.5× the per-asset device work of
+    stage-1 (72 s vs 15.7 s marginal on one chip — BASELINE.md), so on 8
+    chips a 1-or-2 : 7-or-6 split balances a steady stream. With
+    `pipelined=True`, stage-1 of batch N+1 overlaps stage-2 of batch N via a
+    background thread (JAX dispatch is async; the two submeshes execute
+    concurrently).
+    """
+
+    def __init__(
+        self,
+        stage1_model,
+        stage2_model,
+        stage1_devices: Optional[Sequence] = None,
+        stage2_devices: Optional[Sequence] = None,
+        stage1_fraction: float = 0.25,
+    ):
+        from ..parallel.mesh import make_mesh
+
+        if stage1_devices is None or stage2_devices is None:
+            devs = jax.devices()
+            n1 = max(1, int(len(devs) * stage1_fraction))
+            n1 = n1 if len(devs) > 1 else 1
+            stage1_devices = devs[:n1]
+            stage2_devices = devs[n1:] if len(devs) > n1 else devs
+        self.orbit = OrbitServer(
+            stage1_model, mesh=make_mesh(devices=list(stage1_devices))
+        )
+        self.refine = RefineServer(
+            stage2_model, mesh=make_mesh(devices=list(stage2_devices))
+        )
+
+    def generate(
+        self,
+        images: np.ndarray,  # (B, H1, W1, 3) in [-1, 1]
+        elevations: Optional[Sequence[float]] = None,
+        rng: Optional[jax.Array] = None,
+        stage2_hw: Optional[Sequence[int]] = None,
+    ) -> np.ndarray:
+        """→ refined (B, T, H2, W2, 3) in [-1, 1]."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        r1, r2 = jax.random.split(rng)
+        videos = self.orbit.generate(images, elevations=elevations, rng=r1)
+        if stage2_hw is not None and tuple(stage2_hw) != videos.shape[2:4]:
+            import cv2
+
+            videos = np.stack([
+                np.stack([
+                    cv2.resize(f, (stage2_hw[1], stage2_hw[0]))
+                    for f in vid
+                ])
+                for vid in videos
+            ])
+        return self.refine.refine(videos, elevations=elevations, rng=r2)
+
+    def generate_stream(self, batches, elevations=None, rng=None):
+        """Pipelined generator over an iterable of image batches: stage-1 of
+        batch N+1 runs while stage-2 of batch N drains its submesh. A
+        consumer-side failure cancels the producer cleanly (no thread left
+        blocked on the handoff queue)."""
+        import threading
+        import queue
+
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        q: "queue.Queue" = queue.Queue(maxsize=1)
+        stop = threading.Event()
+        err = []
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def producer():
+            try:
+                for i, images in enumerate(batches):
+                    if stop.is_set():
+                        return
+                    r1 = jax.random.fold_in(rng, 2 * i)
+                    if not _put((self.orbit.generate(
+                            images, elevations=elevations, rng=r1), i)):
+                        return
+            except Exception as e:  # surfaced by the consumer loop
+                err.append(e)
+            finally:
+                _put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                videos, i = item
+                r2 = jax.random.fold_in(rng, 2 * i + 1)
+                yield self.refine.refine(
+                    videos, elevations=elevations, rng=r2
+                )
+        finally:
+            stop.set()
+            t.join(timeout=30)
+        if err:
+            raise err[0]

@@ -109,3 +109,29 @@ def test_refine_batch_matches_single(stage2_model):
     # UNet over several steps — compare statistically
     denom = np.abs(ref).mean() + 1e-6
     assert np.abs(out - ref).mean() / denom < 0.15
+
+
+def test_two_stage_server_submesh_split(model, stage2_model):
+    """TwoStageServer: each stage on its own submesh; refined output at the
+    stage-2 resolution; pipelined stream yields every batch."""
+    import jax as _jax
+
+    from hi3d_tpu.pipelines.serve import TwoStageServer
+
+    devs = _jax.devices()
+    server = TwoStageServer(
+        model, stage2_model,
+        stage1_devices=devs[:4], stage2_devices=devs[4:8],
+    )
+    rnd = np.random.RandomState(0)
+    images = rnd.rand(2, RES, RES, 3).astype(np.float32) * 2 - 1
+    out = server.generate(images, elevations=[0.0, 10.0],
+                          rng=jax.random.PRNGKey(1))
+    assert out.shape == (2, T, RES, RES, 3)
+    assert np.all(np.isfinite(out))
+
+    batches = [images, images[:2]]
+    outs = list(server.generate_stream(batches, elevations=[0.0, 10.0],
+                                       rng=jax.random.PRNGKey(2)))
+    assert len(outs) == 2
+    assert all(o.shape == (2, T, RES, RES, 3) for o in outs)
