@@ -233,3 +233,52 @@ def test_postprocess_minmax():
     d0 = jnp.asarray(np.random.RandomState(4).rand(1, 16, 16, 1) * 0.4 + 0.3)
     m = np.asarray(postprocess(d0, (16, 16)))
     assert abs(m.min()) < 1e-5 and abs(m.max() - 1.0) < 1e-5
+
+
+class TU2NET(tnn.Module):
+    """Full-width torch u2net (xuebinqin layout) for converter parity."""
+
+    def __init__(self, in_ch=3, out_ch=1):
+        super().__init__()
+        self.stage1 = TRSU(7, in_ch, 32, 64)
+        self.stage2 = TRSU(6, 64, 32, 128)
+        self.stage3 = TRSU(5, 128, 64, 256)
+        self.stage4 = TRSU(4, 256, 128, 512)
+        self.stage5 = TRSU4F(512, 256, 512)
+        self.stage6 = TRSU4F(512, 256, 512)
+        self.stage5d = TRSU4F(1024, 256, 512)
+        self.stage4d = TRSU(4, 1024, 128, 256)
+        self.stage3d = TRSU(5, 512, 64, 128)
+        self.stage2d = TRSU(6, 256, 32, 64)
+        self.stage1d = TRSU(7, 128, 16, 64)
+        self.pool = tnn.MaxPool2d(2, stride=2, ceil_mode=True)
+        for i, ch in enumerate([64, 64, 128, 256, 512, 512]):
+            setattr(self, f"side{i + 1}", tnn.Conv2d(ch, out_ch, 3, padding=1))
+        self.outconv = tnn.Conv2d(6 * out_ch, out_ch, 1)
+
+    forward = TU2NETP.forward
+
+
+def test_u2net_full_parity():
+    """Full-width u2net: converted torch weights reproduce activations."""
+    torch.manual_seed(3)
+    ref = TU2NET().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(ref, np.random.RandomState(4))
+
+    rng = np.random.RandomState(5)
+    x = rng.rand(1, 64, 64, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x).permute(0, 3, 1, 2))
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_u2net_sd(sd)
+    d0, sides = U2Net(full=True).apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(d0)[..., 0], want[0].squeeze(1).numpy(),
+        rtol=1e-4, atol=3e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sides[-1])[..., 0], want[6].squeeze(1).numpy(),
+        rtol=1e-4, atol=3e-5,
+    )
