@@ -177,12 +177,17 @@ class DiffusionEngine:
 
         load_engine_params(self, path)
 
-    def cast_weights_to_compute_dtype(self, include_towers: bool = True) -> None:
+    def cast_weights_to_compute_dtype(
+        self, include_towers: bool = True, include_first_stage: bool = False
+    ) -> None:
         """Inference-time weight cast — the reference CLIs run the whole model
-        `.half()` (pipeline_i2v_eval_v01.py:52). Casts the UNet params (and
-        optionally the frozen conditioner towers) to `compute_dtype`; the VAE
-        stays fp32 (`disable_first_stage_autocast` parity). Do NOT call when
-        training — the optimizer wants fp32 master params."""
+        `.half()` (pipeline_i2v_eval_v01.py:52), VAE included. Casts the UNet
+        params (and optionally the frozen conditioner towers) to
+        `compute_dtype`; the VAE stays fp32 by default (the conservative
+        choice — bf16 has fewer mantissa bits than the reference's fp16) and
+        casts only with `include_first_stage=True` (CLI flag --vae_bf16),
+        which halves VAE HBM/time at 1024². Do NOT call when training — the
+        optimizer wants fp32 master params."""
         dt = self.compute_dtype
         if dt == jnp.float32:
             return
@@ -194,6 +199,13 @@ class DiffusionEngine:
                 else p,
                 tree,
             )
+
+        def cast_vae(wrapper):
+            # params AND module compute dtype; drop its cached jitted
+            # appliers (they captured the fp32 module)
+            wrapper.params = cast(wrapper.params)
+            wrapper.module = wrapper.module.clone(dtype=dt)
+            wrapper.__dict__.pop("_misc_cache", None)
 
         if self.params is not None:
             self.params = cast(self.params)
@@ -208,6 +220,14 @@ class DiffusionEngine:
                 clip = getattr(emb, "open_clip", None)
                 if clip is not None and getattr(clip, "params", None) is not None:
                     clip.params = cast(clip.params)
+                if include_first_stage:
+                    enc = getattr(emb, "encoder", None)
+                    if enc is not None and getattr(enc, "params", None) is not None:
+                        cast_vae(enc)
+        if include_first_stage and getattr(
+            self.first_stage_model, "params", None
+        ) is not None:
+            cast_vae(self.first_stage_model)
 
     # ------------------------------------------------------------ first stage
     def _chunked(self, fn, x: jax.Array) -> jax.Array:

@@ -213,6 +213,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--skip_rembg", action="store_true")
     p.add_argument("--no_metrics", action="store_true")
+    p.add_argument("--vae_bf16", action="store_true",
+                   help="cast the VAEs to bf16 too (reference .half() parity)")
     args = p.parse_args(argv)
 
     def _load(config_path, ckpt_path, res):
@@ -223,7 +225,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         else:
             print(f"[full] checkpoint {ckpt_path!r} not found — random "
                   "weights (smoke mode)")
-        model.cast_weights_to_compute_dtype()
+        model.cast_weights_to_compute_dtype(include_first_stage=args.vae_bf16)
         return model
 
     if args.profile_dir:

@@ -144,6 +144,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of the run here")
+    p.add_argument("--vae_bf16", action="store_true",
+                   help="cast the VAE to bf16 too (reference .half() runs "
+                        "the VAE at reduced precision as well)")
     p.add_argument("--skip_rembg", action="store_true")
     args = p.parse_args(argv)
 
@@ -156,7 +159,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     else:
         print(f"[i2v] checkpoint {args.denoise_checkpoint!r} not found — "
               "running with random weights (smoke mode)")
-    model.cast_weights_to_compute_dtype()  # inference .half() parity
+    model.cast_weights_to_compute_dtype(  # inference .half() parity
+        include_first_stage=args.vae_bf16
+    )
     print(f"[i2v] model ready in {time.time() - t0:.1f}s")
 
     if args.profile_dir:

@@ -108,3 +108,40 @@ def test_log_conditionings_text_images(model):
         assert model.log_conditionings(batch, n=2) == {}
     finally:
         model.no_cond_log = False
+
+
+def test_cast_weights_include_first_stage(model):
+    """--vae_bf16 parity: VAE params/module cast to compute dtype, decode
+    stays close to the fp32 result."""
+    import jax.numpy as jnp
+
+    frames = jax.random.normal(jax.random.PRNGKey(7), (2, RES, RES, 3)) * 0.2
+    z = model.encode_first_stage(frames)
+    ref = np.asarray(model.decode_first_stage(z), np.float32)
+
+    orig_dtype = model.compute_dtype
+    orig_params = jax.tree.map(np.asarray, model.first_stage_model.params)
+    orig_module = model.first_stage_model.module
+    try:
+        model.compute_dtype = jnp.bfloat16
+        model.cast_weights_to_compute_dtype(
+            include_towers=False, include_first_stage=True
+        )
+        leaves = jax.tree.leaves(model.first_stage_model.params)
+        assert all(l.dtype == jnp.bfloat16 for l in leaves)
+        assert model.first_stage_model.module.dtype == jnp.bfloat16
+        got = np.asarray(model.decode_first_stage(z), np.float32)
+        assert np.isfinite(got).all()
+        # bf16 VAE ≈ fp32 VAE (loose: 8-bit mantissa through ~30 convs)
+        assert np.abs(got - ref).mean() < 0.05
+    finally:
+        model.compute_dtype = orig_dtype
+        model.first_stage_model.params = jax.tree.map(
+            jnp.asarray, orig_params
+        )
+        model.first_stage_model.module = orig_module
+        model.first_stage_model.__dict__.pop("_misc_cache", None)
+        model.params = jax.tree.map(
+            lambda p: p.astype(jnp.float32) if p.dtype == jnp.bfloat16 else p,
+            model.params,
+        )
