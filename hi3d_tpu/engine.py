@@ -220,14 +220,14 @@ class DiffusionEngine:
                 clip = getattr(emb, "open_clip", None)
                 if clip is not None and getattr(clip, "params", None) is not None:
                     clip.params = cast(clip.params)
-                if include_first_stage:
+        if include_first_stage:
+            if self.conditioner is not None:
+                for emb in self.conditioner.embedders:
                     enc = getattr(emb, "encoder", None)
                     if enc is not None and getattr(enc, "params", None) is not None:
                         cast_vae(enc)
-        if include_first_stage and getattr(
-            self.first_stage_model, "params", None
-        ) is not None:
-            cast_vae(self.first_stage_model)
+            if getattr(self.first_stage_model, "params", None) is not None:
+                cast_vae(self.first_stage_model)
 
     # ------------------------------------------------------------ first stage
     def _chunked(self, fn, x: jax.Array) -> jax.Array:

@@ -230,24 +230,26 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
-    result = run_two_stage(
-        lambda: _load(args.stage1_config, args.stage1_checkpoint,
-                      args.stage1_resolution[0]),
-        lambda: _load(args.stage2_config, args.stage2_checkpoint,
-                      args.stage2_resolution[0]),
-        args.image_path,
-        args.output_dir,
-        elevation=args.elevation,
-        clip_size=args.clip_size,
-        stage1_resolution=args.stage1_resolution,
-        stage2_resolution=args.stage2_resolution,
-        seed=args.seed,
-        fps=args.fps,
-        skip_rembg=args.skip_rembg,
-        score_views=not args.no_metrics,
-    )
-    if args.profile_dir:
-        jax.profiler.stop_trace()
+    try:
+        result = run_two_stage(
+            lambda: _load(args.stage1_config, args.stage1_checkpoint,
+                          args.stage1_resolution[0]),
+            lambda: _load(args.stage2_config, args.stage2_checkpoint,
+                          args.stage2_resolution[0]),
+            args.image_path,
+            args.output_dir,
+            elevation=args.elevation,
+            clip_size=args.clip_size,
+            stage1_resolution=args.stage1_resolution,
+            stage2_resolution=args.stage2_resolution,
+            seed=args.seed,
+            fps=args.fps,
+            skip_rembg=args.skip_rembg,
+            score_views=not args.no_metrics,
+        )
+    finally:
+        if args.profile_dir:
+            jax.profiler.stop_trace()
     print(json.dumps(result, indent=2))
 
 

@@ -165,25 +165,23 @@ def main(argv: Optional[List[str]] = None) -> None:
     print(f"[i2v] model ready in {time.time() - t0:.1f}s")
 
     if args.profile_dir:
-        import jax
-
         jax.profiler.start_trace(args.profile_dir)
     t0 = time.time()
-    out = run_pipeline(
-        model,
-        args.image_path,
-        args.output_dir,
-        elevation=args.elevation,
-        clip_size=args.clip_size,
-        resolution=args.resolution,
-        num_iter=args.num_iter,
-        seed=args.seed,
-        skip_rembg=args.skip_rembg,
-    )
-    if args.profile_dir:
-        import jax
-
-        jax.profiler.stop_trace()
+    try:
+        out = run_pipeline(
+            model,
+            args.image_path,
+            args.output_dir,
+            elevation=args.elevation,
+            clip_size=args.clip_size,
+            resolution=args.resolution,
+            num_iter=args.num_iter,
+            seed=args.seed,
+            skip_rembg=args.skip_rembg,
+        )
+    finally:
+        if args.profile_dir:
+            jax.profiler.stop_trace()
     print(f"[i2v] wrote {out} in {time.time() - t0:.1f}s")
 
 

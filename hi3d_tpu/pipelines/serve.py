@@ -142,12 +142,14 @@ class TwoStageServer:
     submesh so a pod runs both models resident simultaneously (a single
     16 GB chip cannot — full.run_two_stage loads them sequentially instead).
 
-    Device split rationale: stage-2 does ~4.5× the per-asset device work of
-    stage-1 (72 s vs 15.7 s marginal on one chip — BASELINE.md), so on 8
-    chips a 1-or-2 : 7-or-6 split balances a steady stream. With
-    `pipelined=True`, stage-1 of batch N+1 overlaps stage-2 of batch N via a
-    background thread (JAX dispatch is async; the two submeshes execute
-    concurrently).
+    Device split: both submeshes default to power-of-two sizes (frame
+    counts are powers of two, so divisibility always holds); stage-2 does
+    ~5.3× the per-asset device work of stage-1 (83 s vs 15.7 s marginal on
+    one chip — BASELINE.md), so when capacity matters pass explicit splits
+    biased toward stage 2 with a stage-2 size that divides B·T.
+    `generate_stream` overlaps stage-1 of batch N+1 with stage-2 of batch N
+    via a background thread (JAX dispatch is async; the two submeshes
+    execute concurrently).
     """
 
     def __init__(
@@ -156,22 +158,47 @@ class TwoStageServer:
         stage2_model,
         stage1_devices: Optional[Sequence] = None,
         stage2_devices: Optional[Sequence] = None,
-        stage1_fraction: float = 0.25,
     ):
         from ..parallel.mesh import make_mesh
 
-        if stage1_devices is None or stage2_devices is None:
-            devs = jax.devices()
-            n1 = max(1, int(len(devs) * stage1_fraction))
-            n1 = n1 if len(devs) > 1 else 1
-            stage1_devices = devs[:n1]
-            stage2_devices = devs[n1:] if len(devs) > n1 else devs
+        devs = jax.devices()
+        if stage1_devices is None and stage2_devices is None:
+            # default: power-of-two halves — frame counts are powers of two
+            # (T=16), so a power-of-two data axis always satisfies the
+            # (B·T) % n divisibility RefineServer/OrbitServer require; an
+            # uneven split like 2:6 would reject typical batch sizes
+            half = max(1, len(devs) // 2)
+            p = 1 << (half.bit_length() - 1)  # largest power of two ≤ half
+            if len(devs) == 1:
+                stage1_devices = stage2_devices = devs
+            else:
+                stage1_devices = devs[:p]
+                stage2_devices = devs[p : 2 * p]
+        elif stage1_devices is None:
+            rest = [d for d in devs if d not in set(stage2_devices)]
+            stage1_devices = rest or devs
+        elif stage2_devices is None:
+            rest = [d for d in devs if d not in set(stage1_devices)]
+            stage2_devices = rest or devs
         self.orbit = OrbitServer(
             stage1_model, mesh=make_mesh(devices=list(stage1_devices))
         )
         self.refine = RefineServer(
             stage2_model, mesh=make_mesh(devices=list(stage2_devices))
         )
+
+    @staticmethod
+    def _to_stage2_res(videos: np.ndarray, stage2_hw) -> np.ndarray:
+        if stage2_hw is None or tuple(stage2_hw) == videos.shape[2:4]:
+            return videos
+        import cv2
+
+        return np.stack([
+            np.stack([
+                cv2.resize(f, (stage2_hw[1], stage2_hw[0])) for f in vid
+            ])
+            for vid in videos
+        ])
 
     def generate(
         self,
@@ -185,19 +212,11 @@ class TwoStageServer:
             rng = jax.random.PRNGKey(0)
         r1, r2 = jax.random.split(rng)
         videos = self.orbit.generate(images, elevations=elevations, rng=r1)
-        if stage2_hw is not None and tuple(stage2_hw) != videos.shape[2:4]:
-            import cv2
-
-            videos = np.stack([
-                np.stack([
-                    cv2.resize(f, (stage2_hw[1], stage2_hw[0]))
-                    for f in vid
-                ])
-                for vid in videos
-            ])
+        videos = self._to_stage2_res(videos, stage2_hw)
         return self.refine.refine(videos, elevations=elevations, rng=r2)
 
-    def generate_stream(self, batches, elevations=None, rng=None):
+    def generate_stream(self, batches, elevations=None, rng=None,
+                        stage2_hw=None):
         """Pipelined generator over an iterable of image batches: stage-1 of
         batch N+1 runs while stage-2 of batch N drains its submesh. A
         consumer-side failure cancels the producer cleanly (no thread left
@@ -242,6 +261,7 @@ class TwoStageServer:
                 if item is None:
                     break
                 videos, i = item
+                videos = self._to_stage2_res(videos, stage2_hw)
                 r2 = jax.random.fold_in(rng, 2 * i + 1)
                 yield self.refine.refine(
                     videos, elevations=elevations, rng=r2
@@ -249,5 +269,10 @@ class TwoStageServer:
         finally:
             stop.set()
             t.join(timeout=30)
+            if t.is_alive():
+                # an in-flight stage-1 dispatch cannot be interrupted; it
+                # finishes its current batch, notices `stop`, and exits
+                print("[serve] stage-1 producer still draining its current "
+                      "batch; submesh-1 busy until it completes")
         if err:
             raise err[0]

@@ -262,19 +262,21 @@ def main(argv: Optional[List[str]] = None) -> None:
     t0 = time.time()
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
-    out = run_pipeline(
-        model,
-        args.image_path,
-        video_path,
-        args.output_dir,
-        elevation=args.elevation,
-        clip_size=args.clip_size,
-        resolution=args.resolution,
-        num_iter=args.num_iter,
-        seed=args.seed,
-    )
-    if args.profile_dir:
-        jax.profiler.stop_trace()
+    try:
+        out = run_pipeline(
+            model,
+            args.image_path,
+            video_path,
+            args.output_dir,
+            elevation=args.elevation,
+            clip_size=args.clip_size,
+            resolution=args.resolution,
+            num_iter=args.num_iter,
+            seed=args.seed,
+        )
+    finally:
+        if args.profile_dir:
+            jax.profiler.stop_trace()
     print(f"[v2v] wrote {out} in {time.time() - t0:.1f}s")
 
 

@@ -59,13 +59,18 @@ def trainable_mask(params, trained_param_keys: Sequence[str]):
 
     norm_keys = set()
     for k in keys:
+        # reference keys address the torch tree ("model.diffusion_model.
+        # label_emb.0.0.weight", inference-v01.yaml:9-13); the flax tree has
+        # no such prefix — strip it so those keys match
+        for pre in ("model.diffusion_model.", "diffusion_model.", "module."):
+            if k.startswith(pre):
+                k = k[len(pre):]
         nk = k.replace(".", "_").strip("_")
         norm_keys.add(nk)
-        # torch leaf names → flax leaf names
+        # torch leaf names → flax leaf names (a key naming `.weight` must
+        # match ONLY the kernel — the reference's substring match would not
+        # catch the layer's bias)
         norm_keys.add(nk.replace("weight", "kernel"))
-        for suffix in ("_weight", "_bias"):
-            if nk.endswith(suffix):
-                norm_keys.add(nk[: -len(suffix)])
     flat = traverse_util.flatten_dict(params, sep=".")
     out = {}
     for path, leaf in flat.items():

@@ -120,6 +120,7 @@ def test_cast_weights_include_first_stage(model):
     ref = np.asarray(model.decode_first_stage(z), np.float32)
 
     orig_dtype = model.compute_dtype
+    orig_unet = jax.tree.map(np.asarray, model.params)
     orig_params = jax.tree.map(np.asarray, model.first_stage_model.params)
     orig_module = model.first_stage_model.module
     try:
@@ -141,7 +142,4 @@ def test_cast_weights_include_first_stage(model):
         )
         model.first_stage_model.module = orig_module
         model.first_stage_model.__dict__.pop("_misc_cache", None)
-        model.params = jax.tree.map(
-            lambda p: p.astype(jnp.float32) if p.dtype == jnp.bfloat16 else p,
-            model.params,
-        )
+        model.params = jax.tree.map(jnp.asarray, orig_unet)

@@ -135,3 +135,23 @@ def test_two_stage_server_submesh_split(model, stage2_model):
                                        rng=jax.random.PRNGKey(2)))
     assert len(outs) == 2
     assert all(o.shape == (2, T, RES, RES, 3) for o in outs)
+
+
+def test_two_stage_server_default_split_is_power_of_two(model, stage2_model):
+    """Default device split must give power-of-two submeshes so typical
+    batch×frame counts always divide the data axis."""
+    from hi3d_tpu.pipelines.serve import TwoStageServer
+
+    server = TwoStageServer(model, stage2_model)  # 8 CPU devices → 4 + 4
+    n1 = server.orbit.mesh.shape["data"]
+    n2 = server.refine.mesh.shape["data"]
+    assert n1 & (n1 - 1) == 0 and n2 & (n2 - 1) == 0
+    assert (2 * T) % n2 == 0  # b=2, T frames divides stage-2 axis
+
+    # one-sided override keeps the caller's pin
+    import jax as _jax
+
+    devs = _jax.devices()
+    s2 = TwoStageServer(model, stage2_model, stage1_devices=devs[:1])
+    assert s2.orbit.mesh.devices.size == 1
+    assert s2.refine.mesh.devices.size == len(devs) - 1

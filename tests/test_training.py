@@ -246,3 +246,34 @@ def test_fsdp_param_sharding_matches_replicated():
     for leaf in jax.tree.leaves(stfb.params):
         assert len(leaf.sharding.device_set) == 8
         assert not leaf.sharding.is_fully_replicated
+
+
+def test_trainable_mask_matches_shipped_reference_keys():
+    """The reference's documented SVD-adaptation subset uses torch-tree keys
+    with a 'model.diffusion_model.' prefix (inference-v01.yaml:9-13); the
+    flax tree has no such prefix — the mask must still match."""
+    import jax.numpy as jnp
+
+    from hi3d_tpu.training.state import trainable_mask
+
+    params = {"params": {
+        "label_emb_0_0": {"kernel": jnp.zeros((4, 4)), "bias": jnp.zeros(4)},
+        "input_blocks_1_0": {
+            "spatial": {"emb_layers_1": {"kernel": jnp.zeros((4, 4))}},
+            "time_stack": {"in_layers_2": {"kernel": jnp.zeros((4, 4))}},
+        },
+        "out_2": {"kernel": jnp.zeros((4, 4))},
+    }}
+    keys = ("model.diffusion_model.label_emb.0.0.weight",
+            ".emb_layers.", ".time_stack.")
+    import flax
+
+    mask = flax.traverse_util.flatten_dict(
+        trainable_mask(params, keys), sep="."
+    )
+    assert mask["params.label_emb_0_0.kernel"]
+    assert mask["params.input_blocks_1_0.spatial.emb_layers_1.kernel"]
+    assert mask["params.input_blocks_1_0.time_stack.in_layers_2.kernel"]
+    assert not mask["params.out_2.kernel"]
+    # bias of label_emb_0_0: the reference key names only the weight
+    assert not mask["params.label_emb_0_0.bias"]
