@@ -293,7 +293,10 @@ class GeneralLPIPSWithDiscriminator:
         traced = isinstance(global_step, jax.Array)
         active = traced or (train and global_step >= self.discriminator_iter_start)
         if active or not train:
-            logits_fake, _ = self._run_disc(state, reconstructions, train=False)
+            # reference keeps the discriminator module in train mode during
+            # the generator update (discriminator_loss.py) — normalize with
+            # batch statistics, discarding the mutated running stats
+            logits_fake, _ = self._run_disc(state, reconstructions, train=train)
             g_loss = -jnp.mean(logits_fake)
             if train and decode_fn is not None and last_layer_params is not None:
                 def nll_fn(p):

@@ -49,15 +49,32 @@ class BasicConv2d(nn.Module):
         return nn.relu(x)
 
 
-def _avg_pool_3x3_count_include_pad(x: jax.Array) -> jax.Array:
-    """torch AvgPool2d(3, stride=1, padding=1) default counts padded zeros in
-    the divisor (the FID variants switch this off only inside the pool
-    branches that pytorch-fid patches; torchvision default is include)."""
+def _avg_pool_3x3(x: jax.Array, exclude_pad: bool) -> jax.Array:
+    """torch AvgPool2d(3, stride=1, padding=1).
+
+    exclude_pad=True matches `count_include_pad=False` — the divisor is the
+    number of *valid* taps per window (pytorch-fid patches the pool branches
+    of FIDInceptionA/C/E this way); False is the torchvision default, which
+    counts padded zeros (divisor always 9).
+    """
     s = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
         [(0, 0), (1, 1), (1, 1), (0, 0)],
     )
-    return s / 9.0
+    if not exclude_pad:
+        return s / 9.0
+    ones = jnp.ones((1, x.shape[1], x.shape[2], 1), x.dtype)
+    counts = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    return s / counts
+
+
+def _max_pool_3x3_s1(x: jax.Array) -> jax.Array:
+    """torch MaxPool2d(3, stride=1, padding=1) — the pool branch of
+    pytorch-fid's FIDInceptionE_2 (Mixed_7c)."""
+    return nn.max_pool(x, (3, 3), (1, 1), padding=((1, 1), (1, 1)))
 
 
 def _max_pool_3x3_s2(x: jax.Array) -> jax.Array:
@@ -66,6 +83,7 @@ def _max_pool_3x3_s2(x: jax.Array) -> jax.Array:
 
 class InceptionA(nn.Module):
     pool_features: int
+    pool_exclude_pad: bool = True  # pytorch-fid FIDInceptionA patch
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -83,7 +101,7 @@ class InceptionA(nn.Module):
         b3 = BasicConv2d(
             96, (3, 3), padding=((1, 1), (1, 1)), dtype=d, name="branch3x3dbl_3"
         )(b3)
-        bp = _avg_pool_3x3_count_include_pad(x)
+        bp = _avg_pool_3x3(x, self.pool_exclude_pad)
         bp = BasicConv2d(
             self.pool_features, (1, 1), dtype=d, name="branch_pool"
         )(bp)
@@ -110,6 +128,7 @@ class InceptionB(nn.Module):
 
 class InceptionC(nn.Module):
     channels_7x7: int
+    pool_exclude_pad: bool = True  # pytorch-fid FIDInceptionC patch
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -126,7 +145,7 @@ class InceptionC(nn.Module):
         bd = BasicConv2d(c7, (1, 7), padding=p17, dtype=d, name="branch7x7dbl_3")(bd)
         bd = BasicConv2d(c7, (7, 1), padding=p71, dtype=d, name="branch7x7dbl_4")(bd)
         bd = BasicConv2d(192, (1, 7), padding=p17, dtype=d, name="branch7x7dbl_5")(bd)
-        bp = _avg_pool_3x3_count_include_pad(x)
+        bp = _avg_pool_3x3(x, self.pool_exclude_pad)
         bp = BasicConv2d(192, (1, 1), dtype=d, name="branch_pool")(bp)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
@@ -152,6 +171,9 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    # pytorch-fid: FIDInceptionE_1 (Mixed_7b) patches the pool branch to
+    # exclude-pad avg pooling; FIDInceptionE_2 (Mixed_7c) uses MAX pooling.
+    pool_mode: str = "avg_exclude_pad"  # avg_exclude_pad | avg_include_pad | max
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -177,7 +199,10 @@ class InceptionE(nn.Module):
             384, (3, 1), padding=((1, 1), (0, 0)), dtype=d, name="branch3x3dbl_3b"
         )(bd)
         bd = jnp.concatenate([bda, bdb], axis=-1)
-        bp = _avg_pool_3x3_count_include_pad(x)
+        if self.pool_mode == "max":
+            bp = _max_pool_3x3_s1(x)
+        else:
+            bp = _avg_pool_3x3(x, self.pool_mode == "avg_exclude_pad")
         bp = BasicConv2d(192, (1, 1), dtype=d, name="branch_pool")(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
@@ -187,11 +212,18 @@ class InceptionV3Trunk(nn.Module):
     `output_blocks` requests (pytorch-fid inception.py block layout)."""
 
     output_blocks: Sequence[int] = (3,)
+    # True = pytorch-fid semantics (exclude-pad avg pools in A/C/E branches,
+    # max pool at Mixed_7c) — what the reference wrapper loads FID weights
+    # into; False = plain torchvision inception_v3.
+    fid_variant: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array):
         d = self.dtype
+        xp = self.fid_variant  # exclude-pad in patched branches
+        e1_mode = "avg_exclude_pad" if xp else "avg_include_pad"
+        e2_mode = "max" if xp else "avg_include_pad"
         outs = {}
         last = max(self.output_blocks)
         # block 0
@@ -208,19 +240,19 @@ class InceptionV3Trunk(nn.Module):
             x = _max_pool_3x3_s2(x)
             outs[1] = x
         if last >= 2:
-            x = InceptionA(32, dtype=d, name="Mixed_5b")(x)
-            x = InceptionA(64, dtype=d, name="Mixed_5c")(x)
-            x = InceptionA(64, dtype=d, name="Mixed_5d")(x)
+            x = InceptionA(32, pool_exclude_pad=xp, dtype=d, name="Mixed_5b")(x)
+            x = InceptionA(64, pool_exclude_pad=xp, dtype=d, name="Mixed_5c")(x)
+            x = InceptionA(64, pool_exclude_pad=xp, dtype=d, name="Mixed_5d")(x)
             x = InceptionB(dtype=d, name="Mixed_6a")(x)
-            x = InceptionC(128, dtype=d, name="Mixed_6b")(x)
-            x = InceptionC(160, dtype=d, name="Mixed_6c")(x)
-            x = InceptionC(160, dtype=d, name="Mixed_6d")(x)
-            x = InceptionC(192, dtype=d, name="Mixed_6e")(x)
+            x = InceptionC(128, pool_exclude_pad=xp, dtype=d, name="Mixed_6b")(x)
+            x = InceptionC(160, pool_exclude_pad=xp, dtype=d, name="Mixed_6c")(x)
+            x = InceptionC(160, pool_exclude_pad=xp, dtype=d, name="Mixed_6d")(x)
+            x = InceptionC(192, pool_exclude_pad=xp, dtype=d, name="Mixed_6e")(x)
             outs[2] = x
         if last >= 3:
             x = InceptionD(dtype=d, name="Mixed_7a")(x)
-            x = InceptionE(dtype=d, name="Mixed_7b")(x)
-            x = InceptionE(dtype=d, name="Mixed_7c")(x)
+            x = InceptionE(pool_mode=e1_mode, dtype=d, name="Mixed_7b")(x)
+            x = InceptionE(pool_mode=e2_mode, dtype=d, name="Mixed_7c")(x)
             x = jnp.mean(x, axis=(1, 2), keepdims=True)  # adaptive avg → 1×1
             outs[3] = x
         return [outs[i] for i in self.output_blocks]
@@ -237,13 +269,15 @@ class InceptionV3:
         resize_input: bool = True,  # forced True by the reference wrapper
         output_blocks: Sequence[int] = (3,),
         ckpt_path: Optional[str] = None,
+        fid_variant: bool = True,
         dtype: Dtype = jnp.float32,
         **_unused,
     ):
         self.normalize_input = normalize_input
         self.resize_input = True if resize_input is None else bool(resize_input)
         self.module = InceptionV3Trunk(
-            output_blocks=tuple(output_blocks), dtype=dtype
+            output_blocks=tuple(output_blocks), fid_variant=fid_variant,
+            dtype=dtype,
         )
         self.params = None
         if ckpt_path is not None:

@@ -315,17 +315,27 @@ class EMAVectorQuantizer(_RemapMixin):
         avg_probs = jnp.mean(encodings, axis=0)
         perplexity = jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)))
 
+        ema_updates = None
         if train and self.update:
-            self.apply_updates(*self.compute_updates(encodings, z_flat))
+            ema_updates = self.compute_updates(encodings, z_flat)
+            # Mutating self under jit would store tracers on the object and
+            # break the next call — only auto-apply in eager mode; a jitted
+            # caller applies `log["ema_updates"]` via apply_updates() outside
+            # the traced region.
+            if not isinstance(z_flat, jax.core.Tracer):
+                self.apply_updates(*ema_updates)
 
         loss = self.beta * jnp.mean((jax.lax.stop_gradient(z_q) - z) ** 2)
         z_q = z + jax.lax.stop_gradient(z_q - z)
-        return z_q, {
+        log = {
             self.loss_key: loss,
             "encodings": encodings,
             "encoding_indices": idx,
             "perplexity": perplexity,
         }
+        if ema_updates is not None:
+            log["ema_updates"] = ema_updates
+        return z_q, log
 
     def compute_updates(self, encodings: jax.Array, z_flat: jax.Array):
         """Pure EMA step (quantize.py:337-352): returns the new

@@ -192,7 +192,10 @@ def _group_stats(x, groups, eps):
     s2_c = jnp.sum(jnp.square(xf), axis=1)
     gm = s_c.reshape(n, groups, c // groups).sum(-1) / cnt
     gm2 = s2_c.reshape(n, groups, c // groups).sum(-1) / cnt
-    inv = jax.lax.rsqrt(gm2 - jnp.square(gm) + eps)
+    # one-pass E[x²]−mean² can go slightly negative under fp32 cancellation
+    # on near-constant activations — clamp before rsqrt to avoid NaN
+    var = jnp.maximum(gm2 - jnp.square(gm), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
     return gm, inv
 
 

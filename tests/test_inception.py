@@ -7,17 +7,49 @@ import jax.numpy as jnp
 from hi3d_tpu.models.inception import (
     InceptionV3,
     InceptionV3Trunk,
-    _avg_pool_3x3_count_include_pad,
+    _avg_pool_3x3,
+    _max_pool_3x3_s1,
     load_inception_params,
 )
 
 
 def test_avg_pool_include_pad_semantics():
-    # torch AvgPool2d(3,1,1) divides by 9 even at borders
+    # torch AvgPool2d(3,1,1) default divides by 9 even at borders
     x = jnp.ones((1, 4, 4, 1))
-    y = _avg_pool_3x3_count_include_pad(x)
+    y = _avg_pool_3x3(x, exclude_pad=False)
     np.testing.assert_allclose(float(y[0, 0, 0, 0]), 4 / 9, rtol=1e-6)
     np.testing.assert_allclose(float(y[0, 1, 1, 0]), 1.0, rtol=1e-6)
+
+
+def test_fid_pool_patches_match_torch():
+    """pytorch-fid patches: avg_pool2d(count_include_pad=False) in the
+    A/C/E pool branches and max_pool2d(3,1,1) at Mixed_7c."""
+    import torch
+    import torch.nn.functional as F
+
+    x = np.random.default_rng(0).standard_normal((2, 7, 7, 5)).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    got = np.asarray(_avg_pool_3x3(jnp.asarray(x), exclude_pad=True))
+    want = F.avg_pool2d(
+        xt, kernel_size=3, stride=1, padding=1, count_include_pad=False
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    got = np.asarray(_max_pool_3x3_s1(jnp.asarray(x)))
+    want = F.max_pool2d(xt, kernel_size=3, stride=1, padding=1).numpy()
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), rtol=1e-6)
+
+
+def test_fid_variant_differs_from_torchvision():
+    # the Mixed_7c max-pool patch must show up in the pooled features
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 75, 75, 3))
+    fid = InceptionV3Trunk(output_blocks=(3,), fid_variant=True)
+    tv = InceptionV3Trunk(output_blocks=(3,), fid_variant=False)
+    params = jax.jit(fid.init)(jax.random.PRNGKey(0), x)
+    (a,) = jax.jit(fid.apply)(params, x)
+    (b,) = jax.jit(tv.apply)(params, x)  # same params, different pool wiring
+    assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
 def test_trunk_block_shapes():
