@@ -1,96 +1,288 @@
-"""Benchmark: UNet denoise steps/sec/chip on the flagship stage-1 config.
+"""Benchmark: the three production step rates, hardware-anchored via MFU.
 
-One "denoise step" = one CFG-doubled VideoUNet forward over a 16-frame video
-at 512² (64×64 latent) — exactly the per-sampler-step work of the reference
-stage-1 pipeline (guiders.py:91-99 doubles the batch; 25 such steps per
-asset). Weights bf16, σ-math fp32, matching production inference.
+Metrics (each = measured steps/sec/chip + MFU from XLA cost-analysis FLOPs
+÷ measured time ÷ chip peak):
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "steps/sec/chip", "vs_baseline": N}
+1. stage-1 denoise step — CFG-doubled VideoUNet forward, 16 frames @ 512²
+   (64×64 latent); the per-sampler-step work of the reference stage-1
+   pipeline (guiders.py:91-99 doubles the batch; 25 such steps per asset).
+2. stage-2 denoise step — same at 1024² (128×128 latent, 17 input channels,
+   adm 512; reference configs/train-v02.yaml:35-38) — the end-to-end
+   bottleneck (≈60 s of the ~83 s stage-2 marginal per asset).
+3. train step — stage-1 512²/16f/bs1 SVD-adaptation fine-tune (loss → grads
+   → AdamW → no EMA), remat, frozen-subset parity (inference-v01.yaml:9-13).
 
-`vs_baseline` is measured against REF_A100_STEPS_PER_SEC, the reference
-implementation's measured rate on its stated hardware (README.md:34, 80GB
-A100, fp16 + xformers): the reference takes roughly 1.2 s per CFG-doubled
-16-frame 512² UNet forward (no public number exists — see BASELINE.md — this
-is our instrumented estimate; >1.0 means we beat it).
+Weights bf16, σ-math fp32, matching production inference.
+
+Prints ONE JSON line. The primary metric is the stage-1 step rate;
+`vs_baseline` compares against REF_A100_EST_STEPS_PER_SEC, an *instrumented
+estimate* of the reference on its stated hardware (README.md:34: 80 GB A100,
+fp16 + xformers; the repo publishes no throughput numbers — see BASELINE.md).
+The honest hardware anchor is the per-metric `mfu` field. The other metrics
+ride in `extra` (same schema). An internal time budget (HI3D_BENCH_BUDGET_S,
+default 540 s) skips later metrics rather than blowing the driver timeout
+when compile caches are cold; skipped metrics are listed in `skipped`.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 
-REF_A100_STEPS_PER_SEC = 0.83  # ≈1.2 s/step on A100-80G fp16 (estimate)
+# persistent compile cache: the three bench graphs take minutes to build
+# through the TPU tunnel's AOT helper; caching them on disk lets a warm
+# rerun (the driver's) finish all metrics inside its 590 s budget
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("HI3D_XLA_CACHE", os.path.expanduser("~/.cache/hi3d_xla")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-T, H, W = 16, 64, 64  # 16 frames, 512² pixels → 64² latent
+REF_A100_EST_STEPS_PER_SEC = 0.83  # ≈1.2 s/step on A100-80G fp16 — ESTIMATE
+
+T = 16
+STAGE1_HW = (64, 64)    # 512² pixels → 64² latent
+STAGE2_HW = (128, 128)  # 1024² pixels → 128² latent
 STEPS = 8
 WARMUP = 2
+TRAIN_STEPS = 4
+TRAINED_KEYS = ("label_emb", "emb_layers", "time_stack")
+
+_DEADLINE = time.monotonic() + float(os.environ.get("HI3D_BENCH_BUDGET_S", "540"))
 
 
-def main() -> None:
+def _remaining() -> float:
+    return _DEADLINE - time.monotonic()
+
+
+def _peak_flops_per_sec():
+    """bf16 peak FLOP/s of one chip, by device kind (None if unknown)."""
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "v6": 918e12,   # Trillium
+        "v5p": 459e12,
+        "v5e": 197e12,
+        "v5 lite": 197e12,
+        "v5litepod": 197e12,
+        "v4": 275e12,
+    }
+    for key, peak in table.items():
+        if key in kind:
+            return peak
+    return None
+
+
+def _compiled_flops(compiled):
+    """FLOPs per executable invocation from XLA cost analysis (None if the
+    backend doesn't report them — e.g. some CPU builds)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", -1.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _result(metric, sec_per_step, flops, peak):
+    out = {
+        "metric": metric,
+        "value": round(1.0 / sec_per_step, 4),
+        "unit": "steps/sec/chip",
+        "sec_per_step": round(sec_per_step, 4),
+    }
+    if flops is not None:
+        out["tflops_per_step"] = round(flops / 1e12, 2)
+        if peak is not None:
+            out["mfu"] = round(flops / sec_per_step / peak, 4)
+    return out
+
+
+def _denoise_builder(in_channels: int, adm: int, hw, scale=1.0, t=T):
+    """(fn, args) for one CFG-doubled denoise step. `scale`/`t` shrink the
+    model and frame count for CPU smoke-testing the bench flow."""
     from hi3d_tpu.diffusion.denoiser import Denoiser
     from hi3d_tpu.models.wrappers import ConcatConditionWrapper
     from __graft_entry__ import _unet, _zero_params
 
+    h, w = hw
     dtype = jnp.bfloat16
-    model = _unet(scale=1.0, dtype=dtype)
-    bt = 2 * T  # CFG-doubled batch
+    model = _unet(
+        scale=scale, in_channels=in_channels, dtype=dtype,
+        adm_in_channels=(adm if scale == 1.0 else None),
+    )
+    adm = model.adm_in_channels
+    bt = 2 * t
+    T_ = t
 
-    x = jnp.zeros((bt, H, W, 4), dtype)
-    concat = jnp.zeros((bt, H, W, model.in_channels - 4), dtype)
+    x = jnp.zeros((bt, h, w, 4), dtype)
+    concat = jnp.zeros((bt, h, w, in_channels - 4), dtype)
     ctx = jnp.zeros((2, 1, model.context_dim), dtype)
-    y = jnp.zeros((2, model.adm_in_channels), dtype)
-    ind = jnp.zeros((2, T))
+    y = jnp.zeros((2, adm), dtype)
+    ind = jnp.zeros((2, T_))
     sigma = jnp.full((bt,), 1.0, jnp.float32)
-
     params = _zero_params(
         model,
         jnp.concatenate([x, concat], axis=-1),
         jnp.zeros((bt,)),
         context=ctx,
         y=y,
-        num_video_frames=T,
+        num_video_frames=T_,
         image_only_indicator=ind,
     )
-
     wrapper = ConcatConditionWrapper(model)
     denoiser = Denoiser(
         {"target": "sgm.modules.diffusionmodules.denoiser_scaling.VScalingWithEDMcNoise"}
     )
 
-    @jax.jit
-    def denoise_step(params, x, sigma, concat, ctx, y):
+    def fn(params, x, sigma, concat, ctx, y):
         network = wrapper.bind(
-            params, num_video_frames=T, image_only_indicator=ind
+            params, num_video_frames=T_, image_only_indicator=ind
         )
-        cond = {"concat": concat, "crossattn": ctx, "vector": y}
-        return denoiser(network, x, sigma, cond)
+        return denoiser(
+            network, x, sigma, {"concat": concat, "crossattn": ctx, "vector": y}
+        )
 
-    out = denoise_step(params, x, sigma, concat, ctx, y)
-    jax.block_until_ready(out)
+    return fn, (params, x, sigma, concat, ctx, y)
+
+
+def _bench_denoise(metric, in_channels, adm, hw, peak, scale=1.0, t=T):
+    fn, args = _denoise_builder(in_channels, adm, hw, scale=scale, t=t)
+    compiled = jax.jit(fn).lower(*args).compile()
+    flops = _compiled_flops(compiled)
     for _ in range(WARMUP):
-        jax.block_until_ready(denoise_step(params, x, sigma, concat, ctx, y))
-
+        jax.block_until_ready(compiled(*args))
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        out = denoise_step(params, x, sigma, concat, ctx, y)
+        out = compiled(*args)
     jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    dt = (time.perf_counter() - t0) / STEPS
+    return _result(metric, dt, flops, peak)
 
-    steps_per_sec = STEPS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "unet_denoise_steps_per_sec_chip_stage1_512",
-                "value": round(steps_per_sec, 4),
-                "unit": "steps/sec/chip",
-                "vs_baseline": round(steps_per_sec / REF_A100_STEPS_PER_SEC, 4),
-            }
-        )
+
+def _bench_train(peak, scale=1.0, t=T, hw=STAGE1_HW):
+    """SVD-adaptation train step (see tools/bench_train.py for the rationale
+    on the single-chip trainable subset and no-EMA memory budget)."""
+    from hi3d_tpu.diffusion.denoiser import Denoiser
+    from hi3d_tpu.models.wrappers import ConcatConditionWrapper
+    from hi3d_tpu.training.state import TrainState, build_optimizer, freeze_frozen
+    from hi3d_tpu.training.step import make_train_step
+    from __graft_entry__ import _unet, _zero_params
+
+    T_ = t
+    h, w = hw
+    dtype = jnp.bfloat16
+    model = _unet(scale=scale, dtype=dtype, use_checkpoint=True)
+    bt = T_  # batch 1 video, no CFG during training
+
+    x = jnp.zeros((bt, h, w, 4), dtype)
+    concat = jnp.zeros((bt, h, w, model.in_channels - 4), dtype)
+    ctx = jnp.zeros((1, 1, model.context_dim), dtype)
+    y = jnp.zeros((1, model.adm_in_channels), dtype)
+    ind = jnp.zeros((1, T_))
+    params = _zero_params(
+        model,
+        jnp.concatenate([x, concat], axis=-1),
+        jnp.zeros((bt,)),
+        context=ctx,
+        y=y,
+        num_video_frames=T_,
+        image_only_indicator=ind,
     )
+    wrapper = ConcatConditionWrapper(model)
+    denoiser = Denoiser(
+        {"target": "sgm.modules.diffusionmodules.denoiser_scaling.VScalingWithEDMcNoise"}
+    )
+
+    def loss_fn(p, batch, rng):
+        p = freeze_frozen(p, TRAINED_KEYS)
+        r_sig, r_eps = jax.random.split(rng)
+        z = batch["latents"]
+        sigma = jnp.exp(jax.random.normal(r_sig, (1,)) * 1.6 + 1.0)
+        sigma = jnp.repeat(sigma, T_)  # σ per video, repeated (loss.py:74-76)
+        eps = jax.random.normal(r_eps, z.shape, jnp.float32)
+        noised = (z + eps * sigma[:, None, None, None]).astype(dtype)
+        network = wrapper.bind(p, num_video_frames=T_, image_only_indicator=ind)
+        denoised = denoiser(
+            network, noised, sigma,
+            {"concat": batch["concat"], "crossattn": batch["ctx"],
+             "vector": batch["y"]},
+        )
+        wgt = (sigma**2 + 1.0) / sigma**2  # VWeighting (σ_data = 1)
+        err = (denoised.astype(jnp.float32) - z) ** 2
+        return jnp.mean(wgt[:, None, None, None] * err)
+
+    tx = build_optimizer(1e-5, params, trained_param_keys=TRAINED_KEYS)
+    state = TrainState.create(params, tx, use_ema=False)
+    step_fn = make_train_step(loss_fn, tx, mesh=None, ema_decay=None)
+    batch = {
+        "latents": jnp.zeros((bt, h, w, 4), jnp.float32),
+        "concat": concat, "ctx": ctx, "y": y,
+    }
+    rng = jax.random.PRNGKey(0)
+
+    # step_fn is already jitted (mesh=None path) with state donation
+    compiled = step_fn.lower(state, batch, rng).compile()
+    flops = _compiled_flops(compiled)
+    state, _ = compiled(state, batch, jax.random.fold_in(rng, 0))
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for i in range(TRAIN_STEPS):
+        state, metrics = compiled(state, batch, jax.random.fold_in(rng, 1 + i))
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / TRAIN_STEPS
+    return _result(
+        "train_steps_per_sec_chip_stage1_512_svd_adapt", dt, flops, peak
+    )
+
+
+def main() -> None:
+    peak = _peak_flops_per_sec()
+    skipped = []
+
+    primary = _bench_denoise(
+        "unet_denoise_steps_per_sec_chip_stage1_512", 8, 768, STAGE1_HW, peak
+    )
+    primary["vs_baseline"] = round(
+        primary["value"] / REF_A100_EST_STEPS_PER_SEC, 4
+    )
+    primary["baseline"] = (
+        "a100_80g_fp16_instrumented_estimate_0.83_steps_per_sec "
+        "(reference publishes no throughput numbers — BASELINE.md)"
+    )
+
+    extra = []
+    # stage-2 needs compile + 8 measured 2.4 s steps ≈ 60 s warm
+    if _remaining() > 150:
+        try:
+            extra.append(
+                _bench_denoise(
+                    "unet_denoise_steps_per_sec_chip_stage2_1024",
+                    17, 512, STAGE2_HW, peak,
+                )
+            )
+        except Exception as e:  # OOM/compile failure must not kill the line
+            skipped.append(f"stage2: {type(e).__name__}")
+    else:
+        skipped.append("stage2: budget")
+    if _remaining() > 120:
+        try:
+            extra.append(_bench_train(peak))
+        except Exception as e:
+            skipped.append(f"train: {type(e).__name__}")
+    else:
+        skipped.append("train: budget")
+
+    if extra:
+        primary["extra"] = extra
+    if skipped:
+        primary["skipped"] = skipped
+    print(json.dumps(primary))
 
 
 if __name__ == "__main__":
