@@ -340,9 +340,14 @@ def split_by_prefix(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.n
     return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
 
 
-def load_engine_params(engine, path: str) -> None:
-    """Populate a DiffusionEngine's param trees from a reference checkpoint."""
-    sd = load_torch_state_dict(path)
+def load_engine_params(engine, path) -> None:
+    """Populate a DiffusionEngine's param trees from a reference checkpoint.
+
+    `path` may also be an in-memory torch-layout state dict (str → ndarray),
+    e.g. `{k: v.numpy() for k, v in torch_model.state_dict().items()}` — used
+    by the e2e parity tests and tools/verify_weights.py.
+    """
+    sd = path if isinstance(path, Mapping) else load_torch_state_dict(path)
 
     unet_sd = split_by_prefix(sd, "model.diffusion_model.")
     if unet_sd:

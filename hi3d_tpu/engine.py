@@ -325,11 +325,21 @@ class DiffusionEngine:
         image_only_indicator: Optional[jax.Array] = None,
         rng: Optional[jax.Array] = None,
         params=None,
+        randn: Optional[jax.Array] = None,
     ) -> jax.Array:
-        """Draw latents: full CFG sampling loop, jitted end to end."""
+        """Draw latents: full CFG sampling loop, jitted end to end.
+
+        `randn` optionally supplies the initial unit-variance noise (shape
+        `shape`) — used for reproducible generation and torch-parity tests;
+        when omitted it is drawn from `rng`.
+        """
         rng = default(rng, self.next_rng())
         r_init, r_steps = jax.random.split(rng)
-        randn = jax.random.normal(r_init, tuple(shape), dtype=jnp.float32)
+        if randn is None:
+            randn = jax.random.normal(r_init, tuple(shape), dtype=jnp.float32)
+        else:
+            randn = jnp.asarray(randn)
+            shape = randn.shape
         t = default(num_video_frames, shape[0])
         if image_only_indicator is None:
             # doubled for the CFG batch

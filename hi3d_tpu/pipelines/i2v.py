@@ -54,6 +54,8 @@ def generate_orbit(
     elevation: float = 0.0,
     rng: Optional[jax.Array] = None,
     num_steps: Optional[int] = None,
+    randn: Optional[jax.Array] = None,  # (T, h/8, w/8, 4) unit noise
+    batch_overrides: Optional[Dict] = None,  # applied after add_custom_cond
 ) -> np.ndarray:
     """frames (T, H, W, 3) in [-1,1] → generated orbit (T, H, W, 3) in [-1,1].
 
@@ -74,6 +76,9 @@ def generate_orbit(
         "motion_bucket_id": jnp.asarray([127], jnp.int32),
     }
     batch = model.add_custom_cond(batch, infer=True, rng=r_custom)
+    if batch_overrides:
+        # reproducibility/parity hook: pin stochastic conditioning inputs
+        batch.update(batch_overrides)
 
     c, uc = model.conditioner.get_unconditional_conditioning(
         batch, force_uc_zero_embeddings=list(UC_ZERO_KEYS)
@@ -85,6 +90,7 @@ def generate_orbit(
         shape=(t, h // 8, w // 8, 4),
         num_video_frames=t,
         rng=r_sample,
+        randn=randn,
     )
     decoded = model.decode_first_stage(samples)  # (T, H, W, 3) fp32
     return np.asarray(jnp.clip(decoded, -1.0, 1.0), dtype=np.float32)

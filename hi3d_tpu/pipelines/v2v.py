@@ -77,6 +77,8 @@ def blend_refine_batch(
     rng: Optional[jax.Array] = None,
     steps_per_launch: Optional[int] = 8,
     shard=None,  # callable applied to per-frame arrays (mesh placement)
+    init_noise: Optional[jax.Array] = None,  # (B·T, h/8, w/8, 4) unit noise
+    batch_overrides: Optional[Dict] = None,  # applied after add_custom_cond
 ) -> np.ndarray:
     """Batched stage-2 latent-blending refinement: B assets at once.
 
@@ -105,6 +107,9 @@ def blend_refine_batch(
     if masks is not None:
         batch["masks"] = jnp.asarray(masks)
     batch = model.add_custom_cond(batch, infer=True, rng=r_custom)
+    if batch_overrides:
+        # reproducibility/parity hook: pin stochastic conditioning inputs
+        batch.update(batch_overrides)
 
     c, uc = model.conditioner.get_unconditional_conditioning(
         batch, force_uc_zero_embeddings=list(UC_ZERO_KEYS)
@@ -117,7 +122,9 @@ def blend_refine_batch(
     z = model.encode_first_stage(flat)  # (B·T, h/8, w/8, 4)
     z = z.astype(jnp.float32)
 
-    init_noise = shard(jax.random.normal(r_init, z.shape, jnp.float32))
+    if init_noise is None:
+        init_noise = jax.random.normal(r_init, z.shape, jnp.float32)
+    init_noise = shard(jnp.asarray(init_noise, jnp.float32))
     latents = init_noise * jnp.sqrt(1.0 + sigmas[0] ** 2.0)
 
     indicator = jnp.zeros((2 * b, t))

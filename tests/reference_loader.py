@@ -12,6 +12,11 @@ import types
 
 def _stub(name, **attrs):
     m = sys.modules.get(name) or types.ModuleType(name)
+    if getattr(m, "__spec__", None) is None:
+        import importlib.machinery
+
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        m.__path__ = []  # behave like a package for submodule imports
     for k, v in attrs.items():
         setattr(m, k, v)
     sys.modules[name] = m
@@ -43,6 +48,8 @@ def load_reference():
             "open_clip",
             create_model_and_transforms=lambda *a, **kw: (None, None, None),
         )
+        tv = _stub("torchvision")
+        tv.utils = _stub("torchvision.utils", make_grid=lambda *a, **k: None)
         if "/root/reference" not in sys.path:
             sys.path.insert(0, "/root/reference")
         _LOADED = True
