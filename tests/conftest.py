@@ -20,3 +20,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy test (torch reference towers, serve meshes, e2e parity); "
+        "deselect with -m 'not slow' for the <2-min CI subset",
+    )

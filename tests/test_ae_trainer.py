@@ -1,5 +1,6 @@
 """Two-optimizer autoencoder GAN training (reference autoencoder.py:98-296)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -7,6 +8,9 @@ import jax.numpy as jnp
 from hi3d_tpu.models.autoencoding import AutoencodingEngine
 from hi3d_tpu.models.discriminator import GeneralLPIPSWithDiscriminator
 from hi3d_tpu.training.ae_step import AutoencoderTrainer
+
+pytestmark = pytest.mark.slow
+
 
 
 def _tiny_trainer(disc_start=0):

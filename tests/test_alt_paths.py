@@ -21,6 +21,9 @@ import pytest
 from hi3d_tpu.models.layers import GroupNorm32
 from hi3d_tpu.models.video_attention import SpatialVideoTransformer
 
+pytestmark = pytest.mark.slow
+
+
 
 class _env:
     def __init__(self, **kv):

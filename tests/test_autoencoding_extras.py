@@ -12,6 +12,9 @@ from hi3d_tpu.models.autoencoding import (
 )
 from hi3d_tpu.models.lpips import LPIPS
 
+pytestmark = pytest.mark.slow
+
+
 
 def test_diagonal_gaussian_regularizer():
     reg = DiagonalGaussianRegularizer(sample=False)

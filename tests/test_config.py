@@ -2,6 +2,8 @@
 
 import textwrap
 
+import pytest
+
 from hi3d_tpu.config import (
     apply_dotlist,
     instantiate_from_config,
@@ -10,6 +12,9 @@ from hi3d_tpu.config import (
 )
 from hi3d_tpu.diffusion.scaling import VScalingWithEDMcNoise
 from hi3d_tpu.diffusion.discretization import EDMDiscretization
+
+pytestmark = pytest.mark.slow
+
 
 
 def test_load_and_merge(tmp_path):

@@ -11,6 +11,8 @@ from flax import traverse_util
 from hi3d_tpu.convert.torch_to_jax import convert_dpt_key, convert_state_dict
 from hi3d_tpu.models.dpt import DPTDepthModel
 
+pytestmark = pytest.mark.slow
+
 
 def midas_dpt_hybrid_state_dict_shapes():
     """Key → torch shape for the released dpt_hybrid_384.pt."""

@@ -21,6 +21,8 @@ from hi3d_tpu.convert.torch_to_jax import (
 from hi3d_tpu.models.unet import VideoUNet
 from hi3d_tpu.models.vae import AutoencoderKL
 
+pytestmark = pytest.mark.slow
+
 
 def assert_trees_equal(a, b):
     fa = traverse_util.flatten_dict(a["params"])

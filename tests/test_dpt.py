@@ -14,6 +14,8 @@ from hi3d_tpu.models.dpt import (
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.slow
+
 
 def test_align_corners_resize_matches_torch():
     x = np.random.RandomState(0).rand(2, 7, 9, 3).astype(np.float32)

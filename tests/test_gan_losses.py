@@ -13,6 +13,8 @@ from hi3d_tpu.models.discriminator import (
     vanilla_d_loss,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def test_d_losses_golden():
     # hinge: 0.5*(relu(1-r).mean() + relu(1+f).mean())  (vqperceptual.py:5-9)

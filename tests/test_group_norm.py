@@ -15,6 +15,8 @@ from hi3d_tpu.ops.group_norm import (
     supports_fused,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def _flax_gn(x, scale, bias, groups, eps=1e-5, act=None):
     y = nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=jnp.float32).apply(

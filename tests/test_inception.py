@@ -1,5 +1,6 @@
 """InceptionV3 FID feature extractor (reference modules.py:187-204)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -11,6 +12,9 @@ from hi3d_tpu.models.inception import (
     _max_pool_3x3_s1,
     load_inception_params,
 )
+
+pytestmark = pytest.mark.slow
+
 
 
 def test_avg_pool_include_pad_semantics():

@@ -16,6 +16,8 @@ from hi3d_tpu.models.unet import VideoUNet
 
 from reference_loader import make_reference_unet
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 B, T, H, W = 1, 2, 8, 8

@@ -10,6 +10,8 @@ from hi3d_tpu.models import vae as jvae
 
 from reference_loader import load_reference
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 DD = dict(

@@ -11,6 +11,9 @@ from hi3d_tpu.pipelines.full import ViewScorer, run_two_stage
 from test_pipeline_i2v import tiny_config
 from test_pipeline_v2v import T, RES, tiny_stage2_config
 
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def models():

@@ -11,6 +11,8 @@ import pytest
 from hi3d_tpu.pipelines.v2v import blend_refine, prepare_inputs, run_pipeline
 from test_pipeline_i2v import CTX, TinyImageEmbedder, VAE_DD, tiny_config
 
+pytestmark = pytest.mark.slow
+
 T, RES = 4, 64
 
 

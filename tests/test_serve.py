@@ -9,6 +9,8 @@ from hi3d_tpu.parallel.mesh import make_mesh
 from hi3d_tpu.pipelines.serve import OrbitServer
 from test_pipeline_i2v import T, RES, tiny_config
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def model():

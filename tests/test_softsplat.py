@@ -5,6 +5,9 @@ import jax
 import jax.numpy as jnp
 
 from hi3d_tpu.ops.softsplat import softsplat, splat_sum
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def numpy_splat_sum(x, flow):

@@ -10,6 +10,9 @@ from flax import traverse_util
 from hi3d_tpu.convert.torch_to_jax import convert_state_dict, convert_vae_key
 from hi3d_tpu.models.temporal_ae import VideoDecoder
 
+pytestmark = pytest.mark.slow
+
+
 T = 2
 DD = dict(ch=8, ch_mult=(1, 2), num_res_blocks=1, z_channels=4, out_ch=3,
           resolution=16)

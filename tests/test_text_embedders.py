@@ -15,6 +15,9 @@ from hi3d_tpu.conditioners import (
     LowScaleEncoder,
 )
 
+pytestmark = pytest.mark.slow
+
+
 
 def _small_clip_embedder(**kw):
     """FrozenCLIPEmbedder with a tiny tower for CPU tests."""

@@ -14,6 +14,9 @@ from hi3d_tpu.parallel.mesh import make_mesh
 from hi3d_tpu.training.trainer import Trainer
 from test_pipeline_i2v import T, RES, tiny_config
 
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def render_dir(tmp_path_factory):
@@ -76,6 +79,20 @@ def test_fit_checkpoint_resume(engine, render_dir, tmp_path):
     assert len(metrics) == 3
     assert all(np.isfinite(m["loss"]) for m in metrics)
     assert all(m["grad_norm"] > 0 for m in metrics)
+
+    # TensorBoard backend wrote real event files during the run (reference
+    # default logger, train_ddp_spawn.py:256-280) — read them back
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(os.path.join(logdir, "tb"))
+    acc.Reload()
+    assert "loss" in acc.Tags()["scalars"], acc.Tags()
+    events = acc.Scalars("loss")
+    assert [e.step for e in events] == [1, 2, 3]
+    for e, m in zip(events, metrics):
+        np.testing.assert_allclose(e.value, m["loss"], rtol=1e-5)
 
     # checkpoints exist (step 2 periodic + step 3 final)
     assert trainer.checkpointer.latest_step() == 3

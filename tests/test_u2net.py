@@ -14,6 +14,8 @@ torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
 import torch.nn.functional as F  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 
 # ---- inline torch reference (upstream u2net.py architecture) -------------
 

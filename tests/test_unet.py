@@ -8,6 +8,9 @@ import pytest
 
 from hi3d_tpu.models.unet import VideoUNet, _build_plan
 
+pytestmark = pytest.mark.slow
+
+
 
 def tiny_unet(**kw):
     cfg = dict(

@@ -13,6 +13,8 @@ from hi3d_tpu.models.unet import UNetModel
 
 from reference_loader import make_reference_unet2d
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 B, H, W = 2, 8, 8

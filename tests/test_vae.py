@@ -9,6 +9,9 @@ from hi3d_tpu.models.vae import (
     AutoencoderKLModeOnly,
     DiagonalGaussianDistribution,
 )
+import pytest
+
+pytestmark = pytest.mark.slow
 
 DDCONFIG = dict(
     double_z=True,
