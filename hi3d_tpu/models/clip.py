@@ -16,6 +16,7 @@ open_clip / OpenAI checkpoints lives in hi3d_tpu.convert.torch_to_jax.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -35,16 +36,63 @@ def clip_normalize(x01: jax.Array) -> jax.Array:
     return (x01 - mean) / std
 
 
-def resize_bicubic(x: jax.Array, hw) -> jax.Array:
-    """Antialiased bicubic resize on NHWC images.
+def _aa_bicubic_weights(n_in: int, n_out: int, align_corners: bool = True):
+    """Torch/PIL-style antialiased bicubic resampling matrix (n_out, n_in).
 
-    Stands in for the reference's kornia bicubic (align_corners=True,
-    antialias=True) preprocessing (modules.py:620-632); jax.image.resize
-    antialiases on downscale. Small boundary-sample differences vs kornia are
-    within the conditioning tower's noise floor.
+    Reproduces `torch.nn.functional.interpolate(mode="bicubic",
+    antialias=True, align_corners=…)` — the semantics of the reference's
+    kornia CLIP preprocessing (modules.py:620-632) — to machine precision
+    (tests/test_clip_resize.py probes torch with one-hot images). Torch's
+    separable-AA kernel uses `center = scale·(i+0.5)` regardless of
+    align_corners; only the scale changes to (in-1)/(out-1), and windows are
+    clipped at the borders then renormalized (aten UpSampleKernel.h,
+    _compute_indices_weights_aa).
     """
-    b, _, _, c = x.shape
-    return jax.image.resize(x, (b, hw[0], hw[1], c), method="bicubic", antialias=True)
+    import numpy as np
+
+    if align_corners and n_out > 1:
+        scale = (n_in - 1) / (n_out - 1)
+    else:
+        scale = n_in / n_out
+    invs = 1.0 / scale if scale > 1 else 1.0
+    support = 2.0 * scale if scale > 1 else 2.0
+
+    def cubic(x, a=-0.5):  # antialias path uses a=-0.5 (PIL), not -0.75
+        x = np.abs(x)
+        return np.where(
+            x < 1,
+            ((a + 2) * x - (a + 3)) * x * x + 1,
+            np.where(x < 2, (((x - 5) * x + 8) * x - 4) * a, 0.0),
+        )
+
+    A = np.zeros((n_out, n_in), np.float64)
+    for i in range(n_out):
+        center = scale * (i + 0.5)
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), n_in)
+        js = np.arange(xmin, xmax)
+        w = cubic((js - center + 0.5) * invs)
+        A[i, xmin:xmax] = w / w.sum()
+    return A.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def _aa_weights_cached(n_in: int, n_out: int):
+    return jnp.asarray(_aa_bicubic_weights(n_in, n_out))
+
+
+def resize_bicubic(x: jax.Array, hw) -> jax.Array:
+    """Exact kornia/torch-parity antialiased bicubic resize (NHWC).
+
+    Separable matmul form — two small einsums that XLA maps onto the MXU —
+    with precomputed torch-semantics weight matrices (align_corners=True,
+    antialias=True, matching reference modules.py:620-632)."""
+    _, h, w, _ = x.shape
+    ah = _aa_weights_cached(h, hw[0])
+    aw = _aa_weights_cached(w, hw[1])
+    y = jnp.einsum("oh,bhwc->bowc", ah, x.astype(jnp.float32))
+    y = jnp.einsum("pw,bowc->bopc", aw, y)
+    return y.astype(x.dtype)
 
 
 def resize_bilinear(x: jax.Array, hw) -> jax.Array:
