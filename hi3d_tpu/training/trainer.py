@@ -49,13 +49,43 @@ def device_memory_stats() -> Dict[str, float]:
 
 
 class MetricsLogger:
-    """Scalar metrics → console + metrics.jsonl (TensorBoard-free parity of
-    the reference's log_dict + TextProgressBar file logs)."""
+    """Scalar metrics → console + metrics.jsonl + a config-selected backend.
 
-    def __init__(self, logdir: str, log_every: int = 10):
+    Backend parity with the reference's logger choice
+    (train_ddp_spawn.py:256-280: TestTube/TensorBoard default, wandb
+    option): `backend="tensorboard"` writes event files under
+    `<logdir>/tb/` readable by TensorBoard; `backend="wandb"` forwards to a
+    wandb run when the package + login exist; `backend=None`/"jsonl" keeps
+    the round-1 behavior. metrics.jsonl and console output are always on —
+    they are the machine-readable source of truth."""
+
+    def __init__(self, logdir: str, log_every: int = 10,
+                 backend: Optional[str] = "tensorboard"):
         self.path = os.path.join(logdir, "metrics.jsonl")
         self.log_every = log_every
         self._t0 = time.time()
+        self._tb = None
+        self._wandb = None
+        if backend in ("tensorboard", "testtube"):
+            try:
+                # host-side event writing only; torch is the env's TB writer
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=os.path.join(logdir, "tb"))
+            except Exception as e:  # missing tb/torch → jsonl-only
+                print(f"[trainer] tensorboard backend unavailable ({e!r}); "
+                      "falling back to metrics.jsonl only")
+        elif backend == "wandb":
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=os.environ.get("WANDB_PROJECT", "hi3d_tpu"),
+                    dir=logdir, resume="allow",
+                )
+            except Exception as e:
+                print(f"[trainer] wandb backend unavailable ({e!r}); "
+                      "falling back to metrics.jsonl only")
 
     def __call__(self, step: int, metrics: Dict[str, Any]) -> None:
         if step % self.log_every:
@@ -68,11 +98,27 @@ class MetricsLogger:
         })
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        scalars = {
+            k: v for k, v in rec.items()
+            if isinstance(v, (int, float)) and k != "step"
+        }
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, v, global_step=step)
+            self._tb.flush()
+        if self._wandb is not None:
+            self._wandb.log(scalars, step=step)
         pretty = " ".join(
             f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
             for k, v in rec.items() if k != "wall_s"
         )
         print(f"[train] {pretty}", flush=True)
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
 
 class ImageLogger:
@@ -216,6 +262,7 @@ class Trainer:
         seed: int = 0,
         grad_clip: Optional[float] = None,
         profile_steps: Optional[Tuple[int, int]] = None,  # (start, stop)
+        logger_backend: Optional[str] = "tensorboard",
     ):
         self.engine = engine
         self.logdir = logdir
@@ -268,7 +315,9 @@ class Trainer:
         self._compiled_step = None
 
         self.profile_steps = profile_steps
-        self.metrics = MetricsLogger(logdir, log_every=log_every)
+        self.metrics = MetricsLogger(
+            logdir, log_every=log_every, backend=logger_backend
+        )
         self.image_logger = ImageLogger(logdir, every_n_steps=log_images_every)
         self.checkpointer = Checkpointer(
             logdir,
@@ -385,6 +434,7 @@ class Trainer:
                 step, self.state, force=True,
                 metrics=getattr(self, "_last_metrics", None),
             )
+            self.metrics.close()
         return self.state
 
     def _engine_with_state(self):

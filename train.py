@@ -39,6 +39,10 @@ def parse_args(argv=None):
     p.add_argument("--scale_lr", type=str2bool, default=True)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--projectname", type=str, default="hi3d_tpu")
+    p.add_argument("--logger", type=str, default="",
+                   choices=["", "tensorboard", "testtube", "wandb", "jsonl"],
+                   help="metrics backend (default: config `lightning.logger`"
+                        " or tensorboard; jsonl = no event files)")
     p.add_argument("--outckpt", type=str, default="",
                    help="export the final weights as a reference-layout "
                         "safetensors (train_ddp_spawn.py:441-443 parity)")
@@ -150,6 +154,11 @@ def main(argv=None) -> None:
         monitor=ckpt_cfg.get("monitor"),
         monitor_mode=ckpt_cfg.get("mode", "min"),
         seed=args.seed,
+        # reference logger choice (train_ddp_spawn.py:256-280): --logger
+        # wins, else `lightning.logger` from the config, else TensorBoard
+        logger_backend=(
+            args.logger or lightning_cfg.get("logger", "tensorboard")
+        ),
     )
 
     max_steps = args.max_steps or trainer_cfg.get("max_steps", 100000)
