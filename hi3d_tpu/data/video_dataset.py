@@ -34,13 +34,8 @@ ELEVATION_BANDS = (-10, 0, 10, 20, 30, 40)
 BAND = 16
 
 
-def load_rgba_white(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    """PNG → (white-composited RGB uint8, alpha mask float32 HW1)."""
-    import cv2
-
-    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
-    if img is None:
-        raise FileNotFoundError(path)
+def _rgba_white(img: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Decoded BGR(A) image → (white-composited RGB uint8, alpha HW1)."""
     if img.ndim == 2:
         img = np.stack([img] * 3, -1)
     if img.shape[-1] == 4:
@@ -49,6 +44,41 @@ def load_rgba_white(path: str) -> Tuple[np.ndarray, np.ndarray]:
         rgb = rgba[..., :3] * mask + 1.0 - mask
         return (rgb * 255.0).astype(np.uint8), mask.astype(np.float32)
     return img[..., ::-1].copy(), np.ones(img.shape[:2] + (1,), np.float32)
+
+
+def load_rgba_white(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """PNG → (white-composited RGB uint8, alpha mask float32 HW1)."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    return _rgba_white(img)
+
+
+def rgba_white_from_bytes(buf: bytes) -> Tuple[np.ndarray, np.ndarray]:
+    """Encoded PNG/JPEG bytes → (white-composited RGB uint8, alpha HW1)."""
+    import cv2
+
+    img = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise ValueError("undecodable image bytes")
+    return _rgba_white(img)
+
+
+def select_window(
+    frames: List, rng, sample_frames: int
+) -> Tuple[List, int]:
+    """Cyclic window inside the elevation band of a random start frame
+    (reference sgm/data/video_dataset.py:101-110)."""
+    start = int(rng.randint(len(frames)))
+    band_id = start // BAND
+    elevation = ELEVATION_BANDS[min(band_id, len(ELEVATION_BANDS) - 1)]
+    lo, hi = band_id * BAND, (band_id + 1) * BAND
+    selected = [frames[i] for i in range(start, hi)] + [
+        frames[i] for i in range(lo, start)
+    ]
+    return selected[:sample_frames], elevation
 
 
 class VideoTrainDataset:
@@ -73,15 +103,7 @@ class VideoTrainDataset:
         return len(self.folders)
 
     def _select_window(self, frames: List[str], rng) -> Tuple[List[str], int]:
-        """Cyclic window inside the elevation band of a random start frame."""
-        start = int(rng.randint(len(frames)))
-        band_id = start // BAND
-        elevation = ELEVATION_BANDS[min(band_id, len(ELEVATION_BANDS) - 1)]
-        lo, hi = band_id * BAND, (band_id + 1) * BAND
-        selected = [frames[i] for i in range(start, hi)] + [
-            frames[i] for i in range(lo, start)
-        ]
-        return selected[: self.sample_frames], elevation
+        return select_window(frames, rng, self.sample_frames)
 
     def _load_clip(self, folder: str, rng):
         folder_path = os.path.join(self.base_folder, folder)
@@ -159,6 +181,174 @@ class VideoTrainDatasetStage2(VideoTrainDataset):
             "kernel2s": k2,
             "sinc_kernels": ks,
         }
+
+
+class TarShardVideoDataset:
+    """Streaming tar-shard ingestion (webdataset-style) for orbital renders.
+
+    The reference streams its loader through `wds.WebLoader` with a
+    `DistributedSampler` (sgm/data/video_dataset.py:182-184); this is the
+    TPU-native form of that data surface: shards are plain `.tar` files whose
+    members are `<object>/<frame>.png` with each object's 96 frames
+    contiguous (the webdataset contract, exactly what
+    `pack_folder_to_shards` writes). Shards are
+
+    - partitioned per host: `shards[process_index::process_count]`
+      (DistributedSampler parity — every host sees a disjoint shard set),
+    - reshuffled every epoch with the shared seed, and
+    - read strictly sequentially (`tarfile` stream mode) — no random access,
+      so the same code path saturates local disk, NFS, or a FUSE-mounted
+      object store.
+
+    Sampling semantics per object are identical to VideoTrainDataset
+    (cyclic band window, white-bg composite, [-1,1]); `sample(rng)` is
+    thread-safe so PrefetchLoader can drive it with its worker pool.
+    """
+
+    stage2 = False
+
+    def __init__(
+        self,
+        shards,  # glob pattern or explicit list of .tar paths
+        width: int = 512,
+        height: int = 512,
+        sample_frames: int = 16,
+        seed: int = 0,
+        shuffle_shards: bool = True,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+        degradation_opt: Optional[dict] = None,
+    ):
+        import glob as globlib
+
+        if isinstance(shards, str):
+            self.shards = sorted(globlib.glob(shards))
+        else:
+            self.shards = sorted(shards)
+        if not self.shards:
+            raise ValueError(f"no tar shards match {shards!r}")
+        self.width, self.height = int(width), int(height)
+        self.sample_frames = int(sample_frames)
+        self.seed = seed
+        self.shuffle_shards = shuffle_shards
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.process_index, self.process_count = process_index, process_count
+        self._lock = threading.Lock()
+        self._it = self._objects()
+        if self.stage2:
+            from .kernels import DEFAULT_DEGRADATION_OPT
+
+            self.opt = dict(DEFAULT_DEGRADATION_OPT, **(degradation_opt or {}))
+
+    def _host_shards(self, epoch: int) -> List[str]:
+        order = list(self.shards)
+        if self.shuffle_shards:
+            perm = np.random.RandomState(self.seed + epoch).permutation(
+                len(order)
+            )
+            order = [order[i] for i in perm]
+        mine = order[self.process_index :: self.process_count]
+        # degenerate case: fewer shards than hosts — fall back to all shards
+        # (duplicated work beats a starved host; log once)
+        if not mine:
+            mine = order
+        return mine
+
+    def _objects(self) -> Iterator[Tuple[str, Dict[str, bytes]]]:
+        """Infinite stream of (object_name, {frame_name: png_bytes})."""
+        import tarfile
+
+        epoch = 0
+        while True:
+            for shard in self._host_shards(epoch):
+                with tarfile.open(shard, mode="r|*") as tf:  # stream mode
+                    cur: Optional[str] = None
+                    files: Dict[str, bytes] = {}
+                    for member in tf:
+                        if not member.isfile():
+                            continue
+                        obj, _, fname = member.name.partition("/")
+                        if obj != cur and files:
+                            yield cur, files
+                            files = {}
+                        cur = obj
+                        files[fname] = tf.extractfile(member).read()
+                    if files:
+                        yield cur, files
+            epoch += 1
+
+    def sample(self, rng: np.random.RandomState) -> Dict:
+        import cv2
+
+        with self._lock:
+            name, files = next(self._it)
+        frames = sorted(files)
+        if len(frames) < self.sample_frames:
+            raise ValueError(
+                f"object {name!r} has {len(frames)} < {self.sample_frames} frames"
+            )
+        selected, elevation = select_window(frames, rng, self.sample_frames)
+        video, masks = [], []
+        for fname in selected:
+            rgb, mask = rgba_white_from_bytes(files[fname])
+            rgb = cv2.resize(rgb, (self.width, self.height))
+            mask = cv2.resize(mask, (self.width, self.height))
+            video.append(rgb.astype(np.float32) / 127.5 - 1.0)
+            masks.append((mask > 0.5).astype(np.float32))
+        out: Dict = {
+            "video": np.stack(video),
+            "elevation": np.float32(elevation),
+            "caption": f"{name}_{selected[0]}",
+            "fps_id": np.int32(7),
+            "motion_bucket_id": np.int32(127),
+        }
+        if self.stage2:
+            from .kernels import sample_frame_kernels
+
+            k1, k2, ks = sample_frame_kernels(self.opt, self.sample_frames, rng)
+            out.pop("fps_id"), out.pop("motion_bucket_id")
+            out["caption"] = name
+            out.update(
+                masks=np.stack(masks), kernel1s=k1, kernel2s=k2, sinc_kernels=ks
+            )
+        return out
+
+
+class TarShardVideoDatasetStage2(TarShardVideoDataset):
+    stage2 = True
+
+
+def pack_folder_to_shards(
+    base_folder: str,
+    out_dir: str,
+    objects_per_shard: int = 64,
+    prefix: str = "renders",
+) -> List[str]:
+    """Pack folder-of-frames renders into webdataset-style tar shards.
+
+    Each shard holds `objects_per_shard` complete objects, members named
+    `<object>/<frame>` in sorted frame order (objects contiguous), ready for
+    TarShardVideoDataset."""
+    import tarfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    folders = sorted(os.listdir(base_folder))
+    paths: List[str] = []
+    for s0 in range(0, len(folders), objects_per_shard):
+        shard = os.path.join(
+            out_dir, f"{prefix}-{s0 // objects_per_shard:05d}.tar"
+        )
+        with tarfile.open(shard, "w") as tf:
+            for obj in folders[s0 : s0 + objects_per_shard]:
+                d = os.path.join(base_folder, obj)
+                for frame in sorted(os.listdir(d)):
+                    tf.add(os.path.join(d, frame), arcname=f"{obj}/{frame}")
+        paths.append(shard)
+    return paths
 
 
 def prepare_eval_input(
@@ -271,6 +461,7 @@ class VideoDataset:
     """
 
     train_cls = VideoTrainDataset
+    tar_cls = TarShardVideoDataset
 
     def __init__(
         self,
@@ -296,9 +487,25 @@ class VideoDataset:
         self.val_dataset = None
 
     def setup(self):
-        self.train_dataset = self.train_cls(
-            self.base_folder, self.width, self.height, self.sample_frames
-        )
+        if ".tar" in str(self.base_folder):
+            # streaming tar-shard ingestion (glob or single shard path)
+            self.train_dataset = self.tar_cls(
+                self.base_folder,
+                self.width,
+                self.height,
+                self.sample_frames,
+                seed=self.seed,
+                **{
+                    k: v
+                    for k, v in self.extra.items()
+                    if k in ("degradation_opt", "shuffle_shards",
+                             "process_index", "process_count")
+                },
+            )
+        else:
+            self.train_dataset = self.train_cls(
+                self.base_folder, self.width, self.height, self.sample_frames
+            )
         if self.eval_folder:
             self.val_dataset = SyncDreamerEvalData(self.eval_folder)
         return self
@@ -325,3 +532,4 @@ class VideoDataset:
 
 class VideoDatasetStage2(VideoDataset):
     train_cls = VideoTrainDatasetStage2
+    tar_cls = TarShardVideoDatasetStage2

@@ -17,8 +17,11 @@ from hi3d_tpu.data.kernels import (
 )
 from hi3d_tpu.data.video_dataset import (
     PrefetchLoader,
+    TarShardVideoDataset,
+    TarShardVideoDatasetStage2,
     VideoTrainDataset,
     VideoTrainDatasetStage2,
+    pack_folder_to_shards,
     prepare_eval_input,
 )
 
@@ -120,6 +123,88 @@ def test_prefetch_loader_batches(render_dir):
     assert batch["video"].shape == (2, 4, 16, 16, 3)
     assert batch["elevation"].shape == (2,)
     assert isinstance(batch["caption"], list) and len(batch["caption"]) == 2
+
+
+@pytest.fixture(scope="module")
+def shard_dir(render_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("shards")
+    paths = pack_folder_to_shards(render_dir, str(out), objects_per_shard=1)
+    assert len(paths) == 2  # 2 objects, 1 per shard
+    return str(out)
+
+
+def test_tar_shard_streaming_matches_folder_semantics(render_dir, shard_dir):
+    """Same object + same window → identical frames from tar and folder
+    (decode, white composite, resize are shared code)."""
+    ds_tar = TarShardVideoDataset(
+        os.path.join(shard_dir, "*.tar"), width=16, height=16,
+        sample_frames=16, seed=0, shuffle_shards=False,
+        process_index=0, process_count=1,
+    )
+    rng = np.random.RandomState(3)
+    seen_elev = set()
+    for _ in range(6):
+        s = ds_tar.sample(rng)
+        assert s["video"].shape == (16, 16, 16, 3)
+        assert -1.0 <= s["video"].min() and s["video"].max() <= 1.0
+        seen_elev.add(float(s["elevation"]))
+        assert int(s["fps_id"]) == 7
+    assert seen_elev <= {-10.0, 0.0, 10.0, 20.0, 30.0, 40.0}
+
+    # frame-level equality vs the folder dataset on a pinned window
+    class FixedRng:
+        def __init__(self, v):
+            self.v = v
+
+        def randint(self, n):
+            return self.v
+
+    ds_folder = VideoTrainDataset(render_dir, 16, 16, sample_frames=4)
+    ds_tar2 = TarShardVideoDataset(
+        os.path.join(shard_dir, "*.tar"), width=16, height=16,
+        sample_frames=4, shuffle_shards=False, process_index=0,
+        process_count=1,
+    )
+    s_tar = ds_tar2.sample(FixedRng(5))  # first streamed object = obj_a
+    # force the folder dataset's cv2 fallback: the native C++ loader's
+    # resize differs from cv2 at the last ulp-ish level; the tar path is cv2
+    from hi3d_tpu.data import native_loader
+    import unittest.mock as mock
+
+    with mock.patch.object(native_loader, "available", lambda: False):
+        v_folder, _, elev, _ = ds_folder._load_clip("obj_a", FixedRng(5))
+    np.testing.assert_array_equal(s_tar["video"], v_folder)
+    assert float(s_tar["elevation"]) == elev
+
+
+def test_tar_shard_per_host_partition(shard_dir):
+    """Two hosts see disjoint shard sets (DistributedSampler parity)."""
+    tars = sorted(os.listdir(shard_dir))
+    ds0 = TarShardVideoDataset(
+        os.path.join(shard_dir, "*.tar"), 16, 16, 4,
+        shuffle_shards=False, process_index=0, process_count=2,
+    )
+    ds1 = TarShardVideoDataset(
+        os.path.join(shard_dir, "*.tar"), 16, 16, 4,
+        shuffle_shards=False, process_index=1, process_count=2,
+    )
+    assert ds0._host_shards(0) != ds1._host_shards(0)
+    assert set(os.path.basename(p) for p in ds0._host_shards(0) + ds1._host_shards(0)) == set(tars)
+    # objects from different hosts are distinct
+    o0 = ds0.sample(np.random.RandomState(0))["caption"].split("_0")[0]
+    o1 = ds1.sample(np.random.RandomState(0))["caption"].split("_0")[0]
+    assert o0 != o1
+
+
+def test_tar_shard_stage2_and_prefetch(shard_dir):
+    ds = TarShardVideoDatasetStage2(
+        os.path.join(shard_dir, "*.tar"), 16, 16, 4,
+        process_index=0, process_count=1,
+    )
+    batch = next(iter(PrefetchLoader(ds, batch_size=2, seed=0, num_workers=2)))
+    assert batch["video"].shape == (2, 4, 16, 16, 3)
+    assert batch["masks"].shape == (2, 4, 16, 16)
+    assert batch["kernel1s"].shape == (2, 4, 21, 21)
 
 
 def test_eval_input_white_background(tmp_path):
