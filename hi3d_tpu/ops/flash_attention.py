@@ -49,6 +49,21 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _variant() -> str:
+    """Forward-kernel experiment selector (A/B'd on the real chip; see
+    BASELINE.md exploration log):
+    - ""      : shipped online-softmax kernel
+    - "vaug"  : fold the softmax row-sum into the PV matmul — V tiles are
+                lane-padded to 128 with a ones-column at lane d, so the MXU
+                lanes that sit idle at d=64 compute `l` for free and the
+                per-tile VPU rowsum over the S² probabilities disappears
+    - "kt"    : K passed pre-transposed (bh, d, sk) so the QKᵀ contraction
+                feeds the MXU without an in-kernel transpose
+    - "vaug_kt": both
+    """
+    return os.environ.get("HI3D_FLASH_VARIANT", "")
+
+
 # --------------------------------------------------------------------------
 # forward
 # --------------------------------------------------------------------------
@@ -94,19 +109,132 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
         lse_ref[0] = m_scr[:, :1] * _LN_2 + jnp.log(l)
 
 
+def _fwd_kernel_vaug(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *,
+                     scale: float, nk: int, d: int, kt: bool):
+    """Online softmax with the row-sum folded into the PV matmul.
+
+    The V tile is lane-padded to 128 columns with a ones-column at lane d;
+    the (bq, bk)×(bk, 128) PV dot then yields Σp in column d at no extra MXU
+    cost (the systolic array processes N in 128-lane granularity, so lanes
+    d..127 were idle in the d=64 regime), deleting the per-tile VPU rowsum
+    over the S² probabilities. The running correction multiplies apply to the
+    l-column exactly as to the output columns, so `l` stays consistent."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    if kt:
+        s = (scale * _LOG2_E) * jax.lax.dot(
+            q_ref[0], k_ref[0], preferred_element_type=jnp.float32
+        )  # q (bq, d) · kT (d, bk)
+    else:
+        s = (scale * _LOG2_E) * jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    m_prev = m_scr[:, :1]
+    m_curr = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    corr = jnp.exp2(m_prev - m_next)
+    p = jnp.exp2(s - m_next)
+    m_scr[:, :1] = m_next
+
+    v_blk = v_ref[0]  # (bk, d)
+    vp = jnp.pad(v_blk, ((0, 0), (0, 128 - d)))
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    vaug = vp + (col == d).astype(vp.dtype)  # ones-column at lane d
+    acc_scr[...] = acc_scr[...] * corr + jax.lax.dot(
+        p.astype(v_blk.dtype), vaug, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nk - 1)
+    def _():
+        l = acc_scr[:, d:d + 1]
+        o_ref[0] = (acc_scr[:, :d] / l).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:, :1] * _LN_2 + jnp.log(l)
+
+
+def _fwd_kernel_kt(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                   *, scale: float, nk: int):
+    """Baseline online softmax, K tile pre-transposed (d, bk)."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    s = (scale * _LOG2_E) * jax.lax.dot(
+        q_ref[0], k_ref[0], preferred_element_type=jnp.float32
+    )
+
+    m_prev = m_scr[:, :1]
+    m_curr = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    corr = jnp.exp2(m_prev - m_next)
+    p = jnp.exp2(s - m_next)
+    l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    m_scr[:, :1] = m_next
+    acc_scr[...] = acc_scr[...] * corr + jax.lax.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nk - 1)
+    def _():
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[...] / l).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:, :1] * _LN_2 + jnp.log(l)
+
+
 def _fwd(q3, k3, v3, scale, block_q, block_k):
     bh, sq, d = q3.shape
     sk = k3.shape[1]
     nq, nk = sq // block_q, sk // block_k
     grid = (bh, nq, nk)
+    variant = _variant()
+    vaug = "vaug" in variant and d < 128
+    kt = "kt" in variant
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
+    if kt:
+        k3 = k3.transpose(0, 2, 1)  # (bh, d, sk)
+        k_spec = pl.BlockSpec((1, d, block_k), lambda b, i, j: (b, 0, j))
+    else:
+        k_spec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0))
+    v_spec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0))
+
+    if vaug:
+        kernel = functools.partial(
+            _fwd_kernel_vaug, scale=scale, nk=nk, d=d, kt=kt
+        )
+        scratch = [
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ]
+    elif kt:
+        kernel = functools.partial(_fwd_kernel_kt, scale=scale, nk=nk)
+        scratch = [
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(_fwd_kernel, scale=scale, nk=nk)
+        scratch = [
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ]
+
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, nk=nk),
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-        ],
+        in_specs=[q_spec, k_spec, v_spec],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
@@ -115,11 +243,7 @@ def _fwd(q3, k3, v3, scale, block_q, block_k):
             jax.ShapeDtypeStruct((bh, sq, d), q3.dtype),
             jax.ShapeDtypeStruct((bh, sq, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

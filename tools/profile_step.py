@@ -16,7 +16,7 @@ import os
 from collections import defaultdict
 
 
-def run_step(trace_dir: str) -> None:
+def run_step(trace_dir: str, stage2: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -24,9 +24,17 @@ def run_step(trace_dir: str) -> None:
     from hi3d_tpu.models.wrappers import ConcatConditionWrapper
     from __graft_entry__ import _unet, _zero_params
 
-    T, H, W = 16, 64, 64
+    if stage2:
+        # 1024² latent grid, 17 input channels, adm 512 (train-v02.yaml:35-38)
+        T, H, W = 16, 128, 128
+    else:
+        T, H, W = 16, 64, 64
     dtype = jnp.bfloat16
-    model = _unet(scale=1.0, dtype=dtype)
+    if stage2:
+        model = _unet(scale=1.0, in_channels=17, dtype=dtype,
+                      adm_in_channels=512)
+    else:
+        model = _unet(scale=1.0, dtype=dtype)
     bt = 2 * T
     x = jnp.zeros((bt, H, W, 4), dtype)
     concat = jnp.zeros((bt, H, W, model.in_channels - 4), dtype)
@@ -97,7 +105,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace-dir", default="/tmp/hi3d_trace")
     ap.add_argument("--summarize-only", action="store_true")
+    ap.add_argument("--stage2", action="store_true",
+                    help="profile the stage-2 step (16×1024², 17ch)")
+    ap.add_argument("--top", type=int, default=30)
     args = ap.parse_args()
     if not args.summarize_only:
-        run_step(args.trace_dir)
-    summarize(args.trace_dir)
+        run_step(args.trace_dir, stage2=args.stage2)
+    summarize(args.trace_dir, top=args.top)
