@@ -34,7 +34,7 @@ constants under jit; the training step only differentiates the UNet.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -160,12 +160,56 @@ class GeneralConditioner:
         force_uc_zero_embeddings: Optional[Sequence[str]] = None,
         force_cond_zero_embeddings: Optional[Sequence[str]] = None,
     ):
+        """(c, uc) pair, reference modules.py GeneralConditioner semantics
+        (ucg disabled for both passes).
+
+        When `batch_uc` is None — every Hi3D pipeline call site — the uc
+        entries are either IDENTICAL to c (same batch, no ucg, rng-free
+        towers) or zeroed by `force_uc_zero_embeddings`; running the frozen
+        towers a second time only to zero or duplicate their outputs doubles
+        the conditioning cost (CLIP ViT-H + DPT×16 + 16-frame cond-VAE encode
+        at stage 2). One tower pass builds both dicts, exactly."""
+        if batch_uc is None:
+            return self._paired_conditioning(
+                batch_c, force_cond_zero_embeddings, force_uc_zero_embeddings
+            )
         c = self(batch_c, force_cond_zero_embeddings, ucg_enabled=False)
-        uc = self(
-            batch_c if batch_uc is None else batch_uc,
-            force_uc_zero_embeddings,
-            ucg_enabled=False,
-        )
+        uc = self(batch_uc, force_uc_zero_embeddings, ucg_enabled=False)
+        return c, uc
+
+    def _paired_conditioning(
+        self,
+        batch: Dict[str, Any],
+        force_cond_zero: Optional[Sequence[str]],
+        force_uc_zero: Optional[Sequence[str]],
+    ) -> Tuple[CondDict, CondDict]:
+        force_cond_zero = force_cond_zero or []
+        force_uc_zero = force_uc_zero or []
+        c: CondDict = {}
+        uc: CondDict = {}
+        for embedder in self.embedders:
+            if embedder.input_key is not None:
+                emb_out = embedder(batch[embedder.input_key], rng=None)
+            else:
+                emb_out = embedder(
+                    *[batch[k] for k in embedder.input_keys], rng=None
+                )
+            if not isinstance(emb_out, (list, tuple)):
+                emb_out = [emb_out]
+            for emb in emb_out:
+                out_key = AbstractEmbedder.OUT_KEY_BY_NDIM[emb.ndim]
+                for out, forced in ((c, force_cond_zero), (uc, force_uc_zero)):
+                    e = (
+                        jnp.zeros_like(emb)
+                        if embedder.input_key in forced
+                        else emb
+                    )
+                    if out_key in out:
+                        out[out_key] = jnp.concatenate(
+                            [out[out_key], e], axis=-1
+                        )
+                    else:
+                        out[out_key] = e
         return c, uc
 
 

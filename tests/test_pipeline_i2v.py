@@ -157,3 +157,26 @@ def test_autoregressive_num_iter(model, tmp_path):
 
     # 2 orbits share the boundary frame: T + (T-1), padded to a multiple of fps
     assert len(import_video(out)) >= 2 * T - 1
+
+
+def test_paired_conditioning_matches_two_pass(model):
+    """get_unconditional_conditioning's single-tower-pass pairing (used when
+    batch_uc is None) must equal the literal two-pass reference semantics."""
+    cond = model.conditioner
+    batch = {
+        "cond_frames_without_noise": jnp.ones((1, RES, RES, 3)) * 0.25,
+        "cond_frames": jnp.ones((1, RES, RES, 3)) * 0.1,
+        "elevation": jnp.array([10.0]),
+        "cond_aug": jnp.array([0.02]),
+    }
+    zero_keys = ["cond_frames", "cond_frames_without_noise"]
+    c, uc = cond.get_unconditional_conditioning(
+        batch, force_uc_zero_embeddings=zero_keys
+    )
+    c2 = cond(batch, None, ucg_enabled=False)
+    uc2 = cond(batch, zero_keys, ucg_enabled=False)
+    assert set(c) == set(c2) and set(uc) == set(uc2)
+    for k in c2:
+        np.testing.assert_array_equal(np.asarray(c[k]), np.asarray(c2[k]))
+    for k in uc2:
+        np.testing.assert_array_equal(np.asarray(uc[k]), np.asarray(uc2[k]))
