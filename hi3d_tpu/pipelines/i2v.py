@@ -62,6 +62,9 @@ def generate_orbit(
     frames[0] is the conditioning image (all T copies at first call; the
     autoregressive loop replaces frame 0 between iterations).
     """
+    from ..utils.misc import PhaseTimer
+
+    timer = PhaseTimer("stage1")
     t = model.num_samples
     assert frames.shape[0] == t, (frames.shape, t)
     h, w = frames.shape[1:3]
@@ -80,9 +83,11 @@ def generate_orbit(
         # reproducibility/parity hook: pin stochastic conditioning inputs
         batch.update(batch_overrides)
 
+    timer.mark("add_custom_cond", batch)
     c, uc = model.conditioner.get_unconditional_conditioning(
         batch, force_uc_zero_embeddings=list(UC_ZERO_KEYS)
     )
+    timer.mark("conditioner", (c, uc))
 
     samples = model.sample(
         cond=c,
@@ -92,8 +97,13 @@ def generate_orbit(
         rng=r_sample,
         randn=randn,
     )
+    timer.mark("sampler_steps", samples)
     decoded = model.decode_first_stage(samples)  # (T, H, W, 3) fp32
-    return np.asarray(jnp.clip(decoded, -1.0, 1.0), dtype=np.float32)
+    timer.mark("vae_decode", decoded)
+    out = np.asarray(jnp.clip(decoded, -1.0, 1.0), dtype=np.float32)
+    timer.mark("to_host")
+    timer.report()
+    return out
 
 
 def run_pipeline(

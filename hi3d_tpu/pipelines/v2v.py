@@ -86,6 +86,9 @@ def blend_refine_batch(
     attention, so sharding the B·T leading axis over a mesh (see
     serve.RefineServer) scales it to N chips with only the frame-axis
     regroup crossing ICI."""
+    from ..utils.misc import PhaseTimer
+
+    timer = PhaseTimer("stage2")
     b, t = videos.shape[:2]
     assert t == model.num_samples, (videos.shape, model.num_samples)
     if rng is None:
@@ -110,17 +113,20 @@ def blend_refine_batch(
     if batch_overrides:
         # reproducibility/parity hook: pin stochastic conditioning inputs
         batch.update(batch_overrides)
+    timer.mark("add_custom_cond", batch)
 
     c, uc = model.conditioner.get_unconditional_conditioning(
         batch, force_uc_zero_embeddings=list(UC_ZERO_KEYS)
     )
     c = jax.tree.map(shard, c)
     uc = jax.tree.map(shard, uc)
+    timer.mark("conditioner", (c, uc))
 
     # per-frame latents of the conditioning video (fp32 VAE)
     flat = shard(jnp.asarray(videos).reshape(b * t, *videos.shape[2:]))
     z = model.encode_first_stage(flat)  # (B·T, h/8, w/8, 4)
     z = z.astype(jnp.float32)
+    timer.mark("vae_encode", z)
 
     if init_noise is None:
         init_noise = jax.random.normal(r_init, z.shape, jnp.float32)
@@ -170,12 +176,17 @@ def blend_refine_batch(
         return jax.jit(run_segment)
 
     run = instance_cache(model, key, make)
+    timer.mark("setup")
     for s0 in range(0, n, chunk):
         latents = run(
             use_params, latents, idx[s0 : s0 + chunk], z, init_noise, c, uc
         )
+    timer.mark("sampler_steps", latents)
     decoded = model.decode_first_stage(latents.astype(dtype))
+    timer.mark("vae_decode", decoded)
     out = np.asarray(jnp.clip(decoded, -1.0, 1.0), dtype=np.float32)
+    timer.mark("to_host")
+    timer.report()
     return out.reshape(b, t, *out.shape[1:])
 
 

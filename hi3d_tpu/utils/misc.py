@@ -71,3 +71,41 @@ def instance_jit(owner, key, fn):
     import jax
 
     return instance_cache(owner, key, lambda: jax.jit(fn))
+
+
+class PhaseTimer:
+    """Opt-in pipeline phase breakdown (HI3D_TIME_PHASES=1).
+
+    Device work is async: a phase only owns its time if we block on its
+    outputs at the boundary, so `mark` takes the arrays to wait on. When
+    disabled (default) `mark` neither blocks nor records — zero overhead
+    and no extra host↔device syncs in production runs."""
+
+    def __init__(self, label: str):
+        import os
+        import time as _time
+
+        self.enabled = os.environ.get("HI3D_TIME_PHASES", "") not in ("", "0")
+        self.label = label
+        self._time = _time
+        self._t = _time.perf_counter() if self.enabled else 0.0
+        self.rows = []
+
+    def mark(self, name: str, block=None) -> None:
+        if not self.enabled:
+            return
+        import jax
+
+        if block is not None:
+            jax.block_until_ready(block)
+        now = self._time.perf_counter()
+        self.rows.append((name, now - self._t))
+        self._t = now
+
+    def report(self) -> None:
+        if not self.enabled or not self.rows:
+            return
+        total = sum(dt for _, dt in self.rows)
+        print(f"[phases:{self.label}] total {total:.2f}s — " + ", ".join(
+            f"{name} {dt:.2f}s" for name, dt in self.rows
+        ))

@@ -11,10 +11,17 @@ bench.py; complements the driver's stage-1 metric in BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("HI3D_XLA_CACHE", os.path.expanduser("~/.cache/hi3d_xla")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 T, H, W = 16, 128, 128
 STEPS = 4
