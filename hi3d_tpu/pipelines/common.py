@@ -18,6 +18,11 @@ def create_model(
     config_path: Union[str, Iterable[str]],
     overrides: Optional[List[str]] = None,
 ):
+    from ..utils.misc import enable_persistent_compilation_cache
+
+    # every CLI goes through here; cached executables turn the multi-minute
+    # first-compile of the pipeline graphs into a one-time cost per shape
+    enable_persistent_compilation_cache()
     cfg = load_config(config_path)
     if overrides:
         cfg = apply_dotlist(cfg, overrides)

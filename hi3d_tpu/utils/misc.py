@@ -109,3 +109,21 @@ class PhaseTimer:
         print(f"[phases:{self.label}] total {total:.2f}s — " + ", ".join(
             f"{name} {dt:.2f}s" for name, dt in self.rows
         ))
+
+
+def enable_persistent_compilation_cache() -> None:
+    """Point JAX's persistent compile cache at HI3D_XLA_CACHE (default
+    ~/.cache/hi3d_xla). The big pipeline graphs take minutes to build through
+    the TPU tunnel's AOT helper; on-disk caching makes any repeat run (same
+    shapes) start in seconds. Set HI3D_XLA_CACHE="" to disable."""
+    import os
+
+    import jax
+
+    path = os.environ.get(
+        "HI3D_XLA_CACHE", os.path.expanduser("~/.cache/hi3d_xla")
+    )
+    if not path:
+        return
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,118 @@
+"""End-to-end per-asset marginal benchmark for both inference stages.
+
+Runs each stage's full pipeline TWICE in one process at production shapes
+(random weights — kernel timing is weight-independent): the first run pays
+compiles/caches, the second is the steady-state marginal an N-asset batch
+job sees per asset. Stages run sequentially and each engine is released
+before the next loads (16 GB chip; see pipelines/full.py docstring).
+
+Set HI3D_TIME_PHASES=1 (default here) for the per-phase breakdown lines.
+Prints one JSON summary line at the end.
+
+Usage: python tools/bench_e2e.py [--stage 1|2|both] [--res1 512 --res2 1024]
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("HI3D_TIME_PHASES", "1")
+
+import numpy as np
+
+
+def _demo_frames(t: int, res: int) -> np.ndarray:
+    """Shaded-sphere frames (T, res, res, 3) in [-1, 1] (assets/demo)."""
+    yy, xx = np.mgrid[0:res, 0:res].astype(np.float32)
+    cy = cx = res / 2.0
+    r = res * 0.35
+    d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+    mask = d2 < r * r
+    shade = np.clip(1.0 - np.sqrt(d2) / r, 0.0, 1.0)
+    img = np.ones((res, res, 3), np.float32)
+    for c, tint in enumerate((0.9, 0.6, 0.3)):
+        img[..., c] = np.where(mask, shade * tint + 0.1, 1.0)
+    return np.repeat((img * 2.0 - 1.0)[None], t, axis=0)
+
+
+def bench_stage1(res: int, t: int) -> dict:
+    import jax
+
+    from hi3d_tpu.pipelines.common import create_model
+    from hi3d_tpu.pipelines.i2v import generate_orbit
+
+    model, _ = create_model("configs/inference-v01.yaml")
+    model.init(latent_hw=(res // 8, res // 8), num_frames=2)
+    model.cast_weights_to_compute_dtype()
+    model.num_samples = t
+    frames = _demo_frames(t, res)
+
+    t0 = time.time()
+    generate_orbit(model, frames, elevation=0.0, rng=jax.random.PRNGKey(0))
+    cold = time.time() - t0
+    t0 = time.time()
+    generate_orbit(model, frames, elevation=0.0, rng=jax.random.PRNGKey(1))
+    marginal = time.time() - t0
+    del model
+    gc.collect()
+    return {"stage1_cold_s": round(cold, 1),
+            "stage1_marginal_s": round(marginal, 2)}
+
+
+def bench_stage2(res: int, t: int) -> dict:
+    import jax
+
+    from hi3d_tpu.pipelines.common import create_model
+    from hi3d_tpu.pipelines.v2v import blend_refine
+    from hi3d_tpu.utils.image import foreground_mask_from_white
+
+    model, _ = create_model("configs/inference-v02.yaml")
+    model.init(latent_hw=(res // 8, res // 8), num_frames=2)
+    model.cast_weights_to_compute_dtype()
+    model.num_samples = t
+    frames = _demo_frames(t, res)
+    masks = np.stack([
+        foreground_mask_from_white(((f + 1.0) * 127.5).astype(np.uint8))
+        for f in frames
+    ])
+
+    t0 = time.time()
+    blend_refine(model, frames, masks, rng=jax.random.PRNGKey(0))
+    cold = time.time() - t0
+    t0 = time.time()
+    blend_refine(model, frames, masks, rng=jax.random.PRNGKey(1))
+    marginal = time.time() - t0
+    del model
+    gc.collect()
+    return {"stage2_cold_s": round(cold, 1),
+            "stage2_marginal_s": round(marginal, 2)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="both", choices=["1", "2", "both"])
+    ap.add_argument("--res1", type=int, default=512)
+    ap.add_argument("--res2", type=int, default=1024)
+    ap.add_argument("--frames", type=int, default=16)
+    args = ap.parse_args()
+
+    out = {}
+    if args.stage in ("1", "both"):
+        out.update(bench_stage1(args.res1, args.frames))
+    if args.stage in ("2", "both"):
+        out.update(bench_stage2(args.res2, args.frames))
+    if "stage1_marginal_s" in out and "stage2_marginal_s" in out:
+        out["asset_marginal_s"] = round(
+            out["stage1_marginal_s"] + out["stage2_marginal_s"], 2
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,9 @@ def bench_one(variant: str, bh: int, sq: int, sk: int, d: int,
     import jax
     import jax.numpy as jnp
     from hi3d_tpu.ops.flash_attention import _flash3
+    from hi3d_tpu.utils.misc import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     dtype = jnp.dtype(dtype_name)
     key = jax.random.PRNGKey(0)

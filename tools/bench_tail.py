@@ -27,11 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("HI3D_XLA_CACHE", os.path.expanduser("~/.cache/hi3d_xla")),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from hi3d_tpu.utils.misc import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 
 # sd-vae ddconfig (configs/inference-v02.yaml first_stage_config)
 DDCONFIG = dict(

@@ -79,7 +79,9 @@ def main(argv=None) -> None:
 
     from hi3d_tpu.config import apply_dotlist, instantiate_from_config, load_config
     from hi3d_tpu.training.trainer import Trainer
+    from hi3d_tpu.utils.misc import enable_persistent_compilation_cache
 
+    enable_persistent_compilation_cache()
     maybe_init_distributed()
     args, unknown = parse_args(argv)
     overrides = [u for u in unknown if "=" in u]
