@@ -60,6 +60,12 @@ def _variant() -> str:
     - "kt"    : K passed pre-transposed (bh, d, sk) so the QKᵀ contraction
                 feeds the MXU without an in-kernel transpose
     - "vaug_kt": both
+    - "pack"  : heads packed in the lane dim — kernels read (B, S, H·D)
+                directly (a free reshape of the Dense projection output)
+                with the head selected by BlockSpec lane offset, so the
+                (B,S,H,D)→(B·H,S,D) transpose copies around every flash
+                site vanish (XLA profile: ~193 ms/step of copies at
+                stage 2). Composes with vaug ("pack_vaug").
     """
     return os.environ.get("HI3D_FLASH_VARIANT", "")
 
@@ -70,8 +76,8 @@ def _variant() -> str:
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
-                scale: float, nk: int):
-    j = pl.program_id(2)
+                scale: float, nk: int, kax: int = 2):
+    j = pl.program_id(kax)
 
     @pl.when(j == 0)
     def _():
@@ -110,7 +116,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
 
 
 def _fwd_kernel_vaug(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *,
-                     scale: float, nk: int, d: int, kt: bool):
+                     scale: float, nk: int, d: int, kt: bool, kax: int = 2):
     """Online softmax with the row-sum folded into the PV matmul.
 
     The V tile is lane-padded to 128 columns with a ones-column at lane d;
@@ -119,7 +125,7 @@ def _fwd_kernel_vaug(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *,
     d..127 were idle in the d=64 regime), deleting the per-tile VPU rowsum
     over the S² probabilities. The running correction multiplies apply to the
     l-column exactly as to the output columns, so `l` stays consistent."""
-    j = pl.program_id(2)
+    j = pl.program_id(kax)
 
     @pl.when(j == 0)
     def _():
@@ -250,6 +256,104 @@ def _fwd(q3, k3, v3, scale, block_q, block_k):
         interpret=_interpret(),
     )(q3, k3, v3)
     return out, lse
+
+
+def _fwd_packed(qp, kp, vp, heads, scale, block_q, block_k):
+    """Forward over packed-heads layout (B, S, H·D) — no transposes.
+
+    Grid (b, h, nq, nk); the head is selected by lane-offset in the
+    BlockSpec (block d wide at element offset h·d), so tiles arrive in VMEM
+    identical to the (B·H, S, D) path while XLA never materializes the
+    transposed copies the 3-D path needs around every call site."""
+    b, sq, hd = qp.shape
+    d = hd // heads
+    sk = kp.shape[1]
+    nq, nk = sq // block_q, sk // block_k
+    grid = (b, heads, nq, nk)
+    vaug = "vaug" in _variant() and d < 128
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, h, i, j: (b, i, h))
+    kv_spec = pl.BlockSpec((1, block_k, d), lambda b, h, i, j: (b, j, h))
+
+    if vaug:
+        kernel = functools.partial(
+            _fwd_kernel_vaug, scale=scale, nk=nk, d=d, kt=False, kax=3
+        )
+        scratch = [
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(_fwd_kernel, scale=scale, nk=nk, kax=3)
+        scratch = [
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ]
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, h, i, j: (b, i, h)),
+            pl.BlockSpec((1, block_q, 1), lambda b, h, i, j: (b, i, h)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq, hd), qp.dtype),
+            jax.ShapeDtypeStruct((b, sq, heads), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(qp, kp, vp)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_packed(qp, kp, vp, heads, scale, block_q, block_k):
+    out, _ = _fwd_packed(qp, kp, vp, heads, scale, block_q, block_k)
+    return out
+
+
+def _flash_packed_fwd(qp, kp, vp, heads, scale, block_q, block_k):
+    out, lse = _fwd_packed(qp, kp, vp, heads, scale, block_q, block_k)
+    return out, (qp, kp, vp, out, lse)
+
+
+def _flash_packed_bwd(heads, scale, block_q, block_k, res, g):
+    # training path: unpack to (B·H, S, D) and reuse the 3-D backward
+    # kernels — the transposes cost what the old forward paid, and only
+    # when gradients actually flow through a flash site
+    qp, kp, vp, out, lse = res
+    b, sq, hd = qp.shape
+    d = hd // heads
+    sk = kp.shape[1]
+
+    def to3(x, s):
+        return x.reshape(b, s, heads, d).transpose(0, 2, 1, 3).reshape(
+            b * heads, s, d
+        )
+
+    lse3 = lse.transpose(0, 2, 1).reshape(b * heads, sq, 1)
+    dq3, dk3, dv3 = _bwd(
+        scale, block_q, block_k,
+        (to3(qp, sq), to3(kp, sk), to3(vp, sk), to3(out, sq), lse3),
+        to3(g, sq),
+    )
+
+    def to_packed(x3, s):
+        return x3.reshape(b, heads, s, d).transpose(0, 2, 1, 3).reshape(
+            b, s, hd
+        )
+
+    return to_packed(dq3, sq), to_packed(dk3, sk), to_packed(dv3, sk)
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 
 
 # --------------------------------------------------------------------------
@@ -428,6 +532,16 @@ def flash_attention(
     # mixed q/k/v dtypes break Mosaic's dot lowering — unify first
     dt = jnp.result_type(q.dtype, k.dtype, v.dtype)
     q, k, v = q.astype(dt), k.astype(dt), v.astype(dt)
+
+    if "pack" in _variant():
+        # packed-heads path: (B,S,H,D)→(B,S,H·D) is a free reshape of the
+        # projection output, and the kernel selects heads by lane offset —
+        # no transpose copies materialize on the forward path
+        out = _flash_packed(
+            q.reshape(b, sq, h * d), k.reshape(b, sk, h * d),
+            v.reshape(b, sk, h * d), h, float(scale), block_q, block_k
+        )
+        return out.reshape(b, sq, h, d)
 
     def to3(x, s):
         return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)

@@ -27,22 +27,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench_one(variant: str, bh: int, sq: int, sk: int, d: int,
-              block_q: int, block_k: int, iters: int, dtype_name: str) -> dict:
+              block_q: int, block_k: int, iters: int, dtype_name: str,
+              heads: int = 5) -> dict:
     os.environ["HI3D_FLASH_VARIANT"] = variant
     import jax
     import jax.numpy as jnp
-    from hi3d_tpu.ops.flash_attention import _flash3
+    from hi3d_tpu.ops.flash_attention import flash_attention
     from hi3d_tpu.utils.misc import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
 
+    # public BSHD entry so per-variant layout work (the 3-D path's
+    # transposes vs the packed path's free reshapes) is part of the timing
+    b = bh // heads
     dtype = jnp.dtype(dtype_name)
     key = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(key, 3)
-    q = jax.random.normal(kq, (bh, sq, d), dtype)
-    k = jax.random.normal(kk, (bh, sk, d), dtype)
-    v = jax.random.normal(kv, (bh, sk, d), dtype)
-    scale = d ** -0.5
+    q = jax.random.normal(kq, (b, sq, heads, d), dtype)
+    k = jax.random.normal(kk, (b, sk, heads, d), dtype)
+    v = jax.random.normal(kv, (b, sk, heads, d), dtype)
 
     @jax.jit
     def run(q, k, v, tag):
@@ -51,7 +54,7 @@ def bench_one(variant: str, bh: int, sq: int, sk: int, d: int,
         def body(_, x):
             # output shape == q shape: chain it back in as q so the calls
             # serialize (no overlap) while k/v stay resident
-            return _flash3(x, k, v, scale, block_q, block_k)
+            return flash_attention(x, k, v, block_q=block_q, block_k=block_k)
         out = jax.lax.fori_loop(0, iters, body, q + tag)
         # scalar result: the host fetch below cannot complete early
         return jnp.sum(out.astype(jnp.float32))
