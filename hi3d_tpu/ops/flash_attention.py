@@ -533,10 +533,14 @@ def flash_attention(
     dt = jnp.result_type(q.dtype, k.dtype, v.dtype)
     q, k, v = q.astype(dt), k.astype(dt), v.astype(dt)
 
-    if "pack" in _variant():
-        # packed-heads path: (B,S,H,D)→(B,S,H·D) is a free reshape of the
-        # projection output, and the kernel selects heads by lane offset —
-        # no transpose copies materialize on the forward path
+    # packed-heads path: (B,S,H,D)→(B,S,H·D) is a free reshape of the
+    # projection output, and the kernel selects heads by lane offset — no
+    # transpose copies materialize on the forward path. Mosaic requires the
+    # lane block dim be a multiple of 128 (or the full array dim), so this
+    # only lowers for d ≥ 128; Hi3D's d=64 heads stay on the 3-D path
+    # (measured: the per-site transposes there total only ~25 ms/step —
+    # the profile's 193 ms "copy" bucket is mostly non-attention layouts).
+    if "pack" in _variant() and (d % 128 == 0 or _interpret()):
         out = _flash_packed(
             q.reshape(b, sq, h * d), k.reshape(b, sk, h * d),
             v.reshape(b, sk, h * d), h, float(scale), block_q, block_k

@@ -50,12 +50,14 @@ def bench_one(variant: str, bh: int, sq: int, sk: int, d: int,
     @jax.jit
     def run(q, k, v, tag):
         # `tag` differs per call: the tunnel dedupes repeated identical
-        # launches and reports impossible wall-times (BASELINE.md notes)
+        # launches and reports impossible wall-times (BASELINE.md notes).
+        # Cast tag into q's dtype — a float32 tag silently promotes the
+        # whole bench to fp32 attention.
         def body(_, x):
             # output shape == q shape: chain it back in as q so the calls
             # serialize (no overlap) while k/v stay resident
             return flash_attention(x, k, v, block_q=block_q, block_k=block_k)
-        out = jax.lax.fori_loop(0, iters, body, q + tag)
+        out = jax.lax.fori_loop(0, iters, body, q + tag.astype(q.dtype))
         # scalar result: the host fetch below cannot complete early
         return jnp.sum(out.astype(jnp.float32))
 
@@ -63,7 +65,7 @@ def bench_one(variant: str, bh: int, sq: int, sk: int, d: int,
     reps = 3
     t0 = time.perf_counter()
     for r in range(reps):
-        acc = float(run(q, k, v, jnp.float32(1e-4 * (r + 1))))
+        acc = float(run(q, k, v, jnp.float32(1e-2 * (r + 1))))
     dt = (time.perf_counter() - t0) / (reps * iters)
     assert acc == acc  # not NaN
     flops = 4.0 * bh * sq * sk * d
