@@ -75,17 +75,18 @@ def dot_product_attention(
         )
     backend = os.environ.get("HI3D_ATTN_BACKEND", backend)  # perf A/B hook
     if backend == "auto":
-        from .flash_attention import DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q
+        from .flash_attention import DEFAULT_BLOCK_Q, _default_block_k
 
         # flash pays off only when BOTH sequence sides are long; Hi3D's
         # cross-attention has a single CLIP kv-token and its temporal
         # attention seq is 16 — both stay on the fused XLA path
+        block_k = _default_block_k(k.shape[1])
         use_flash = (
             _flash_available()
             and q.shape[1] >= _FLASH_MIN_Q_LEN
             and k.shape[1] >= _FLASH_MIN_Q_LEN
             and q.shape[1] % min(DEFAULT_BLOCK_Q, q.shape[1]) == 0
-            and k.shape[1] % min(DEFAULT_BLOCK_K, k.shape[1]) == 0
+            and k.shape[1] % min(block_k, k.shape[1]) == 0
         )
         backend = "flash" if use_flash else "xla"
     if backend == "flash":

@@ -39,7 +39,16 @@ from jax.experimental.pallas import tpu as pltpu
 import os
 
 DEFAULT_BLOCK_Q = int(os.environ.get("HI3D_FLASH_BLOCK_Q", 1024))
-DEFAULT_BLOCK_K = int(os.environ.get("HI3D_FLASH_BLOCK_K", 1024))
+# 0 = per-shape: block_k 2048 at sk ≥ 16384 (stage-2 spatial; measured
+# 0.423 → 0.428 steps/s full-step), 1024 below (2048 regressed the
+# stage-1 s=4096 sites in round-1 A/Bs). Env overrides pin a fixed size.
+DEFAULT_BLOCK_K = int(os.environ.get("HI3D_FLASH_BLOCK_K", 0))
+
+
+def _default_block_k(sk: int) -> int:
+    if DEFAULT_BLOCK_K:
+        return DEFAULT_BLOCK_K
+    return 2048 if sk >= 16384 else 1024
 _NEG_INF = -1e30  # avoid actual -inf: exp(-inf - -inf) = nan on first block
 _LOG2_E = 1.4426950408889634  # scores scaled into the exp2 domain (fwd kernel)
 _LN_2 = 0.6931471805599453
@@ -50,13 +59,15 @@ def _interpret() -> bool:
 
 
 def _variant() -> str:
-    """Forward-kernel experiment selector (A/B'd on the real chip; see
-    BASELINE.md exploration log):
-    - ""      : shipped online-softmax kernel
-    - "vaug"  : fold the softmax row-sum into the PV matmul — V tiles are
-                lane-padded to 128 with a ones-column at lane d, so the MXU
-                lanes that sit idle at d=64 compute `l` for free and the
-                per-tile VPU rowsum over the S² probabilities disappears
+    """Forward-kernel selector (A/B'd on the real chip; see BASELINE.md
+    exploration log). HI3D_FLASH_VARIANT overrides; "" reverts to the plain
+    online-softmax kernel:
+    - "vaug"  : DEFAULT — fold the softmax row-sum into the PV matmul: V
+                tiles are lane-padded to 128 with a ones-column at lane d,
+                so the MXU lanes that sit idle at d=64 compute `l` for free
+                and the per-tile VPU rowsum over the S² probabilities
+                disappears (69.2 → 73.5 TF/s at s=16384; stage-2 step
+                0.415 → 0.423, → 0.428 with the per-shape block_k)
     - "kt"    : K passed pre-transposed (bh, d, sk) so the QKᵀ contraction
                 feeds the MXU without an in-kernel transpose
     - "vaug_kt": both
@@ -67,7 +78,7 @@ def _variant() -> str:
                 site vanish (XLA profile: ~193 ms/step of copies at
                 stage 2). Composes with vaug ("pack_vaug").
     """
-    return os.environ.get("HI3D_FLASH_VARIANT", "")
+    return os.environ.get("HI3D_FLASH_VARIANT", "vaug")
 
 
 # --------------------------------------------------------------------------
@@ -514,13 +525,15 @@ def flash_attention(
     v: jax.Array,
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_k: Optional[int] = None,
 ) -> jax.Array:
     """(B, Sq, H, D) × (B, Sk, H, D) → (B, Sq, H, D)."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
     if scale is None:
         scale = d**-0.5
+    if block_k is None:
+        block_k = _default_block_k(sk)
     block_q = min(block_q, sq)
     block_k = min(block_k, sk)
     if sq % block_q or sk % block_k:
