@@ -44,6 +44,32 @@ from .video_attention import SpatialVideoTransformer
 Dtype = Any
 
 
+def _remat_policy():
+    """Rematerialisation policy for `use_checkpoint`, from HI3D_REMAT_POLICY.
+
+    - "none" (default): save nothing — exact parity with the reference's
+      torch.utils.checkpoint (train-v01.yaml:36), minimum memory.
+    - "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable —
+      keep matmul outputs (qkv/proj/FF Dense layers) and only recompute the
+      cheap elementwise/norm work in the backward pass. Spends activation
+      memory to cut the recompute FLOPs; wins when the chip has HBM headroom
+      (e.g. the single-chip SVD-adaptation fine-tune at 512²).
+    """
+    import os
+
+    name = os.environ.get("HI3D_REMAT_POLICY", "none")
+    if name in ("none", "", "full"):
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if name == "all":
+        # everything_saveable turns each remat into a no-op (all residuals
+        # kept) without changing the block structure — the "no recompute"
+        # bracket of the memory/time tradeoff
+        return jax.checkpoint_policies.everything_saveable
+    raise ValueError(f"unknown HI3D_REMAT_POLICY={name!r} (none|dots|all)")
+
+
 class VideoResBlock(nn.Module):
     """Spatial ResBlock + temporal time-stack ResBlock, alpha-blended."""
 
@@ -247,8 +273,13 @@ class VideoUNet(nn.Module):
         if self.use_checkpoint:
             # static_argnums index into (module, *call_args): num_video_frames
             # is arg 3 of VideoResBlock, timesteps arg 4 of the transformer
-            res_cls = nn.remat(VideoResBlock, static_argnums=(3,))
-            attn_cls = nn.remat(SpatialVideoTransformer, static_argnums=(4,))
+            policy = _remat_policy()
+            res_cls = nn.remat(
+                VideoResBlock, static_argnums=(3,), policy=policy
+            )
+            attn_cls = nn.remat(
+                SpatialVideoTransformer, static_argnums=(4,), policy=policy
+            )
 
         def make_layer(spec, name):
             kind = spec[0]
@@ -422,8 +453,9 @@ class UNetModel(nn.Module):
         res_cls = ResBlock
         attn_cls = SpatialTransformer
         if self.use_checkpoint:
-            res_cls = nn.remat(ResBlock)
-            attn_cls = nn.remat(SpatialTransformer)
+            policy = _remat_policy()
+            res_cls = nn.remat(ResBlock, policy=policy)
+            attn_cls = nn.remat(SpatialTransformer, policy=policy)
 
         def make_layer(spec, name):
             kind = spec[0]

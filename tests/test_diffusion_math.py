@@ -216,6 +216,8 @@ def test_append_dims_and_zero():
         append_dims(jnp.ones((2, 2)), 1)
 
 
+@pytest.mark.slow  # VGG-LPIPS init dominates (~17 s); the L1/L2 paths above
+# cover the loss plumbing in the fast subset
 def test_diffusion_loss_lpips_type():
     """loss_type='lpips': perceptual distance, no σ-weighting
     (reference loss.py:33-34,107-108)."""
