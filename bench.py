@@ -241,7 +241,34 @@ def _bench_train(peak, scale=1.0, t=T, hw=STAGE1_HW):
     )
 
 
+def _backend_reachable(timeout_s: float = 120.0) -> bool:
+    """Probe the backend in a subprocess — a dead TPU tunnel makes
+    jax.devices() hang forever in-process, which would turn a driver bench
+    run into a silent timeout instead of a diagnosable JSON line."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _backend_reachable():
+        print(json.dumps({
+            "metric": "unet_denoise_steps_per_sec_chip_stage1_512",
+            "value": None,
+            "unit": "steps/sec/chip",
+            "error": "backend unreachable: jax.devices() hung >120 s "
+                     "(TPU tunnel down?) — no measurement taken",
+        }))
+        return
+
     peak = _peak_flops_per_sec()
     skipped = []
 
