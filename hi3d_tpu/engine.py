@@ -293,6 +293,48 @@ class DiffusionEngine:
 
         return instance_cache(self, ("dfn_p", key), make)
 
+    def make_denoiser_fn_cached(self, num_video_frames: int):
+        """Param-threaded denoiser with UNet encoder-feature caching
+        (encoder propagation, arXiv 2312.09608 — see models/unet.py):
+        fn(extras, x, sigma, cond, cache) → (denoised, new_cache).
+
+        cache=None runs the full UNet and returns the fresh
+        (skip_activations, middle_h); a given cache skips input/middle
+        blocks entirely (decoder-only step) and is passed through. Both
+        call forms return the same pytree so lax.cond can select between
+        them inside a sampling scan (pipelines/v2v.py turbo mode)."""
+        from .utils.misc import instance_cache
+
+        key = int(num_video_frames)
+
+        def make():
+            def dfn(extras, x, sigma, cond, cache=None):
+                params, indicator = extras
+                cell = {}
+
+                def network(xx, cn, cc, **extra):
+                    bound = self.wrapper.bind(
+                        params,
+                        num_video_frames=key,
+                        image_only_indicator=indicator,
+                        **(
+                            {"return_encoder_cache": True}
+                            if cache is None
+                            else {"encoder_cache": cache}
+                        ),
+                    )
+                    out = bound(xx, cn, cc, **extra)
+                    if cache is None:
+                        out, cell["cache"] = out
+                    return out
+
+                den = self.denoiser(network, x, sigma, cond)
+                return den, (cell["cache"] if cache is None else cache)
+
+            return dfn
+
+        return instance_cache(self, ("dfn_cached", key), make)
+
     def make_denoiser_fn(
         self,
         params=None,

@@ -219,7 +219,16 @@ class VideoUNet(nn.Module):
         num_video_frames: Optional[int] = None,
         image_only_indicator: Optional[jax.Array] = None,
         deterministic: bool = True,
+        encoder_cache: Optional[Tuple[Tuple[jax.Array, ...], jax.Array]] = None,
+        return_encoder_cache: bool = False,
     ) -> jax.Array:
+        """`encoder_cache`/`return_encoder_cache` implement encoder
+        propagation (Faster Diffusion, arXiv 2312.09608): the input_blocks +
+        middle_block activations change little between adjacent sampler
+        steps, so a step may skip them and decode from the previous step's
+        cached (skip_activations, middle_h). Opt-in approximation — exact
+        when the cache comes from the same (x, timesteps); see
+        diffusion-sampling turbo mode in pipelines/v2v.py."""
         bt = x.shape[0]
         t = num_video_frames
 
@@ -328,15 +337,21 @@ class VideoUNet(nn.Module):
                 return lambda h: block(h)
             raise ValueError(kind)
 
-        h = x.astype(self.dtype)
-        skips = []
-        for i, block in enumerate(input_plan):
-            for j, spec in enumerate(block):
-                h = make_layer(spec, f"input_blocks_{i}_{j}")(h)
-            skips.append(h)
+        if encoder_cache is None:
+            h = x.astype(self.dtype)
+            skips = []
+            for i, block in enumerate(input_plan):
+                for j, spec in enumerate(block):
+                    h = make_layer(spec, f"input_blocks_{i}_{j}")(h)
+                skips.append(h)
 
-        for j, spec in enumerate(middle_plan):
-            h = make_layer(spec, f"middle_block_{j}")(h)
+            for j, spec in enumerate(middle_plan):
+                h = make_layer(spec, f"middle_block_{j}")(h)
+        else:
+            skips_t, h = encoder_cache
+            skips = list(skips_t)
+        cache = (tuple(skips), h)
+        skips = list(skips)  # keep `cache` intact while the decoder pops
 
         for i, block in enumerate(output_plan):
             h = jnp.concatenate([h, skips.pop()], axis=-1)
@@ -352,6 +367,8 @@ class VideoUNet(nn.Module):
             dtype=self.dtype,
             name="out_2",
         )(h)
+        if return_encoder_cache:
+            return h, cache
         return h
 
 

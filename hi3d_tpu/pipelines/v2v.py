@@ -54,6 +54,7 @@ def blend_refine(
     elevation: float = 0.0,
     rng: Optional[jax.Array] = None,
     steps_per_launch: Optional[int] = 8,
+    encoder_reuse: int = 0,
 ) -> np.ndarray:
     """frames (T, H, W, 3) in [-1,1] → refined (T, H, W, 3) in [-1,1]."""
     t = model.num_samples
@@ -65,6 +66,7 @@ def blend_refine(
         elevations=[elevation],
         rng=rng,
         steps_per_launch=steps_per_launch,
+        encoder_reuse=encoder_reuse,
     )
     return out[0]
 
@@ -79,13 +81,20 @@ def blend_refine_batch(
     shard=None,  # callable applied to per-frame arrays (mesh placement)
     init_noise: Optional[jax.Array] = None,  # (B·T, h/8, w/8, 4) unit noise
     batch_overrides: Optional[Dict] = None,  # applied after add_custom_cond
+    encoder_reuse: int = 0,
 ) -> np.ndarray:
     """Batched stage-2 latent-blending refinement: B assets at once.
 
     The whole loop is per-frame-parallel apart from the UNet's temporal
     attention, so sharding the B·T leading axis over a mesh (see
     serve.RefineServer) scales it to N chips with only the frame-axis
-    regroup crossing ICI."""
+    regroup crossing ICI.
+
+    `encoder_reuse=k` (k ≥ 2) enables encoder propagation (Faster
+    Diffusion, arXiv 2312.09608): the UNet encoder + middle block run only
+    on every k-th step (and the last), other steps decode from the cached
+    encoder features — an APPROXIMATION that changes outputs slightly; off
+    by default, exact reference semantics at 0."""
     from ..utils.misc import PhaseTimer
 
     timer = PhaseTimer("stage2")
@@ -153,7 +162,16 @@ def blend_refine_batch(
     # asset in serving
     from ..utils.misc import instance_cache
 
-    key = ("blend", b, t, z.shape[1], z.shape[2], num_steps, chunk)
+    key = ("blend", b, t, z.shape[1], z.shape[2], num_steps, chunk,
+           encoder_reuse)
+
+    if encoder_reuse:
+        dfnc = model.make_denoiser_fn_cached(t)
+        # encoder runs on every k-th step and the last; in between the UNet
+        # decodes from the cached encoder features
+        reuse_mask = jnp.asarray(
+            [i % encoder_reuse != 0 and i != n - 1 for i in range(n)]
+        )
 
     def make():
 
@@ -173,14 +191,76 @@ def blend_refine_batch(
             lat, _ = jax.lax.scan(body, lat, seg_idx)
             return lat
 
-        return jax.jit(run_segment)
+        def run_segment_turbo(params, lat, cache, seg_idx, z, init_noise,
+                              c, uc):
+            extras = (params, indicator)
+
+            def full_step(lat_, cache_, i):
+                cell = {}
+
+                def den2(xx, ss, cc):
+                    out, c2 = dfnc(extras, xx, ss, cc, None)
+                    cell["c"] = c2
+                    return out
+
+                out = sampler.step_call(
+                    den2, lat_, i, s_in, sigmas, num_sigmas, c, uc
+                )
+                return out.astype(jnp.float32), cell["c"]
+
+            def cached_step(lat_, cache_, i):
+                den2 = lambda xx, ss, cc: dfnc(extras, xx, ss, cc, cache_)[0]
+                out = sampler.step_call(
+                    den2, lat_, i, s_in, sigmas, num_sigmas, c, uc
+                )
+                return out.astype(jnp.float32), cache_
+
+            def body(carry, i):
+                lat, cache = carry
+                alpha = (0.5 * (1.0 + jnp.cos(i / num_steps))) ** ALPHA_POW
+                source = init_noise * sigmas[i] + z
+                lat = (lat * (1.0 - alpha) + source * alpha).astype(dtype)
+                lat, cache = jax.lax.cond(
+                    reuse_mask[i], cached_step, full_step, lat, cache, i
+                )
+                return (lat, cache), None
+
+            (lat, cache), _ = jax.lax.scan(body, (lat, cache), seg_idx)
+            return lat, cache
+
+        return jax.jit(run_segment_turbo if encoder_reuse else run_segment)
 
     run = instance_cache(model, key, make)
     timer.mark("setup")
-    for s0 in range(0, n, chunk):
-        latents = run(
-            use_params, latents, idx[s0 : s0 + chunk], z, init_noise, c, uc
-        )
+    if encoder_reuse:
+        # zero-filled cache with the real (CFG-doubled) shapes; step 0
+        # always computes, so the zeros never reach an output
+        def _cache_shapes(lat):
+            cell = {}
+
+            def den2(xx, ss, cc):
+                out, cell["c"] = dfnc((use_params, indicator), xx, ss, cc, None)
+                return out
+
+            sampler.step_call(
+                den2, lat.astype(dtype), 0, s_in, sigmas, num_sigmas, c, uc
+            )
+            return cell["c"]
+
+        shapes = jax.eval_shape(_cache_shapes, latents)
+        cache = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        for s0 in range(0, n, chunk):
+            latents, cache = run(
+                use_params, latents, cache, idx[s0 : s0 + chunk], z,
+                init_noise, c, uc,
+            )
+        del cache
+    else:
+        for s0 in range(0, n, chunk):
+            latents = run(
+                use_params, latents, idx[s0 : s0 + chunk], z, init_noise, c,
+                uc,
+            )
     timer.mark("sampler_steps", latents)
     decoded = model.decode_first_stage(latents.astype(dtype))
     timer.mark("vae_decode", decoded)
@@ -219,6 +299,7 @@ def run_pipeline(
     num_iter: int = 1,
     seed: Optional[int] = None,
     fps: int = 8,
+    encoder_reuse: int = 0,
 ) -> str:
     if seed is not None:
         model._rng = jax.random.PRNGKey(seed)
@@ -229,7 +310,8 @@ def run_pipeline(
 
     out_frames: List[np.ndarray] = []
     for _ in range(num_iter):
-        video = blend_refine(model, frames, masks, elevation=elevation)
+        video = blend_refine(model, frames, masks, elevation=elevation,
+                             encoder_reuse=encoder_reuse)
         new = tensor2vid(video)
         out_frames.extend(new if not out_frames else new[1:])
         frames = frames.copy()
@@ -258,6 +340,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--vae_bf16", action="store_true",
                    help="cast the VAE to bf16 too (reference .half() runs "
                         "the VAE at reduced precision as well)")
+    p.add_argument("--encoder_reuse", type=int, default=0,
+                   help="turbo: run the UNet encoder only every k-th sampler "
+                        "step, decode the rest from cached features (Faster "
+                        "Diffusion; APPROXIMATE — slightly changes outputs; "
+                        "0 = exact reference semantics)")
     args = p.parse_args(argv)
 
     video_path = args.video_path or os.path.join(
@@ -291,6 +378,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             resolution=args.resolution,
             num_iter=args.num_iter,
             seed=args.seed,
+            encoder_reuse=args.encoder_reuse,
         )
     finally:
         if args.profile_dir:

@@ -65,6 +65,49 @@ def test_blend_refine_shapes(model):
     assert np.all(np.isfinite(out))
 
 
+def test_encoder_reuse_k1_matches_exact(model):
+    """Turbo with k=1 computes the encoder every step — identical math to
+    the exact path through the cache-threaded graph."""
+    from hi3d_tpu.pipelines.v2v import blend_refine_batch
+
+    rnd = np.random.RandomState(1)
+    videos = (rnd.rand(1, T, RES, RES, 3).astype(np.float32)) * 2.0 - 1.0
+    noise = rnd.randn(T, RES // 8, RES // 8, 4).astype(np.float32)
+    kw = dict(
+        elevations=[5.0],
+        rng=jax.random.PRNGKey(3),
+        init_noise=jnp.asarray(noise),
+        steps_per_launch=None,
+    )
+    exact = blend_refine_batch(model, videos, **kw)
+    turbo = blend_refine_batch(model, videos, encoder_reuse=1, **kw)
+    np.testing.assert_allclose(turbo, exact, rtol=1e-4, atol=1e-5)
+
+
+def test_encoder_reuse_k2_runs_and_approximates(model):
+    """k=2 skips the encoder on half the steps: output is finite, correct
+    shape, and not wildly far from the exact result (same inputs/noise)."""
+    from hi3d_tpu.pipelines.v2v import blend_refine_batch
+
+    rnd = np.random.RandomState(2)
+    videos = (rnd.rand(1, T, RES, RES, 3).astype(np.float32)) * 2.0 - 1.0
+    noise = rnd.randn(T, RES // 8, RES // 8, 4).astype(np.float32)
+    kw = dict(
+        elevations=[5.0],
+        rng=jax.random.PRNGKey(3),
+        init_noise=jnp.asarray(noise),
+        steps_per_launch=None,
+    )
+    exact = blend_refine_batch(model, videos, **kw)
+    turbo = blend_refine_batch(model, videos, encoder_reuse=2, **kw)
+    assert turbo.shape == exact.shape
+    assert np.all(np.isfinite(turbo))
+    # approximation bound is architecture/weights-dependent; at toy size and
+    # 3 steps the decoded frames stay in the same range
+    assert np.abs(turbo).max() <= 1.0 + 1e-6  # output is clipped
+    assert np.abs(turbo - exact).mean() < 0.5
+
+
 def test_full_stage2_pipeline(model, tmp_path):
     import cv2
 

@@ -132,6 +132,41 @@ def test_remat_matches_no_remat(unet_and_params):
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+def test_encoder_cache_contract(unet_and_params):
+    """Decoder-only forward from a returned encoder cache must equal the
+    full forward on the same inputs exactly (encoder propagation support,
+    models/unet.py encoder_cache/return_encoder_cache)."""
+    model, params = unet_and_params
+    params = jax.tree_util.tree_map(lambda p: p + 0.01 * jnp.ones_like(p), params)
+    x, ts, ctx, y, ind = make_inputs()
+
+    @jax.jit
+    def full(p):
+        return model.apply(
+            p, x, ts, context=ctx, y=y, num_video_frames=T,
+            image_only_indicator=ind, return_encoder_cache=True,
+        )
+
+    out_full, cache = full(params)
+
+    @jax.jit
+    def decode_only(p, cache):
+        return model.apply(
+            p, x, ts, context=ctx, y=y, num_video_frames=T,
+            image_only_indicator=ind, encoder_cache=cache,
+        )
+
+    out_cached = decode_only(params, cache)
+    np.testing.assert_allclose(
+        np.asarray(out_cached), np.asarray(out_full), rtol=1e-5, atol=1e-6
+    )
+    # plain path unchanged by the new kwargs
+    out_plain = japply(model, params, x, ts, ctx, y, ind)
+    np.testing.assert_allclose(
+        np.asarray(out_full), np.asarray(out_plain), rtol=1e-6, atol=1e-7
+    )
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("policy", ["dots", "all"])
 def test_remat_policy_grads_match_default(unet_and_params, policy, monkeypatch):
