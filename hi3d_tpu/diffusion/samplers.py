@@ -181,7 +181,8 @@ class EDMSampler(SingleStepDiffusionSampler):
 
     # -- full loop ---------------------------------------------------------
     def __call__(
-        self, denoiser, x, cond, uc=None, num_steps=None, rng=None, extras=None
+        self, denoiser, x, cond, uc=None, num_steps=None, rng=None, extras=None,
+        encoder_reuse=0,
     ):
         """Full sampling loop.
 
@@ -191,6 +192,15 @@ class EDMSampler(SingleStepDiffusionSampler):
         weights (and any other big arrays in `extras`) into the jitted scan
         as XLA *arguments*; the closure form bakes them into the executable
         as constants, doubling their HBM footprint.
+
+        `encoder_reuse=k` (k ≥ 1) enables encoder propagation (Faster
+        Diffusion, arXiv 2312.09608): the UNet encoder + middle block run
+        only on every k-th step (and the last); in between, steps decode
+        from the cached encoder features. Requires the *cached* threaded
+        denoiser form ``fn(extras, x, sigma, cond, cache) → (denoised,
+        cache)`` (engine.make_denoiser_fn_cached). k=1 computes the encoder
+        every step (identical math to the exact path); k ≥ 2 is an
+        APPROXIMATION that slightly changes outputs.
         """
         x, s_in, sigmas, num_sigmas, cond, uc = self.prepare_sampling_loop(
             x, cond, uc, num_steps
@@ -217,6 +227,44 @@ class EDMSampler(SingleStepDiffusionSampler):
         step_rngs = jax.random.split(rng, n)
         xs = (sigmas[:-1], sigmas[1:], jnp.asarray(gammas), step_rngs)
         chunk = self.steps_per_launch
+
+        if encoder_reuse:
+            if extras is None:
+                raise ValueError(
+                    "encoder_reuse requires the cached param-threaded "
+                    "denoiser (pass extras=...; see "
+                    "engine.make_denoiser_fn_cached)"
+                )
+            k = int(encoder_reuse)
+            # encoder runs on every k-th step and the last; the rest decode
+            # from the cached encoder features
+            flags = jnp.asarray(
+                [i % k != 0 and i != n - 1 for i in range(n)]
+            )
+            xs = xs + (flags,)
+
+            # zero-filled cache with the real (CFG-doubled) shapes; step 0
+            # always computes fully, so the zeros never reach an output
+            def _probe(x):
+                cell = {}
+
+                def den(xx, ss, cc):
+                    out, cell["c"] = denoiser(extras, xx, ss, cc, None)
+                    return out
+
+                self.denoise(x, den, s_in * sigmas[0], cond, uc)
+                return cell["c"]
+
+            shapes = jax.eval_shape(_probe, x)
+            cache = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+            runner = self._threaded_runner_cached(denoiser)
+            if not chunk or chunk >= n:
+                x, _ = runner(extras, x, cache, xs, s_in, cond, uc)
+                return x
+            for s0 in range(0, n, chunk):
+                seg = jax.tree.map(lambda v: v[s0 : s0 + chunk], xs)
+                x, cache = runner(extras, x, cache, seg, s_in, cond, uc)
+            return x
 
         if extras is not None:
             runner = self._threaded_runner(denoiser)
@@ -278,6 +326,55 @@ class EDMSampler(SingleStepDiffusionSampler):
             return jax.jit(run)
 
         return instance_cache(self, ("runner", dfn), make)
+
+    def _threaded_runner_cached(self, dfn):
+        """Scan-segment runner for the encoder-propagation (turbo) path.
+
+        `dfn(extras, x, sigma, cond, cache) → (denoised, cache)` is the
+        cached denoiser form; the scan carries (x, encoder_cache) and
+        `lax.cond` selects per step between a full forward (refreshing the
+        cache) and a decoder-only forward. Works for any EDM-family
+        sampler_step — Heun's correction denoise simply refreshes/reuses the
+        cache a second time within the step."""
+        from ..utils.misc import instance_cache
+
+        def make():
+
+            def run(extras, x, cache, seg, s_in, cond, uc):
+
+                def body(carry, inp):
+                    x, cache = carry
+                    sigma, next_sigma, gamma, srng, flag = inp
+
+                    def full_step(x, cache):
+                        cell = {}
+
+                        def den(xx, ss, cc):
+                            out, cell["c"] = dfn(extras, xx, ss, cc, None)
+                            return out
+
+                        out = self.sampler_step(
+                            s_in * sigma, s_in * next_sigma, den, x, cond,
+                            uc, gamma, rng=srng,
+                        )
+                        return out, cell["c"]
+
+                    def cached_step(x, cache):
+                        den = lambda xx, ss, cc: dfn(extras, xx, ss, cc, cache)[0]
+                        out = self.sampler_step(
+                            s_in * sigma, s_in * next_sigma, den, x, cond,
+                            uc, gamma, rng=srng,
+                        )
+                        return out, cache
+
+                    return lax.cond(flag, cached_step, full_step, x, cache), None
+
+                (x, cache), _ = lax.scan(body, (x, cache), seg)
+                return x, cache
+
+            return jax.jit(run)
+
+        return instance_cache(self, ("runner_cached", dfn), make)
 
 
 class EulerEDMSampler(EDMSampler):

@@ -368,12 +368,18 @@ class DiffusionEngine:
         rng: Optional[jax.Array] = None,
         params=None,
         randn: Optional[jax.Array] = None,
+        encoder_reuse: int = 0,
     ) -> jax.Array:
         """Draw latents: full CFG sampling loop, jitted end to end.
 
         `randn` optionally supplies the initial unit-variance noise (shape
         `shape`) — used for reproducible generation and torch-parity tests;
         when omitted it is drawn from `rng`.
+
+        `encoder_reuse=k` (k ≥ 2) enables encoder propagation (Faster
+        Diffusion, arXiv 2312.09608; see samplers.EDMSampler.__call__):
+        the UNet encoder runs only every k-th step — an APPROXIMATION;
+        0 keeps exact reference semantics. EDM-family samplers only.
         """
         rng = default(rng, self.next_rng())
         r_init, r_steps = jax.random.split(rng)
@@ -388,7 +394,20 @@ class DiffusionEngine:
             image_only_indicator = jnp.zeros((2 * (shape[0] // t), t))
         randn = randn.astype(self.compute_dtype)
         use_params = default(params, self.params)
-        if "extras" in _sampler_call_params(self.sampler):
+        sampler_params = _sampler_call_params(self.sampler)
+        if encoder_reuse:
+            if "encoder_reuse" not in sampler_params:
+                raise ValueError(
+                    f"sampler {type(self.sampler).__name__} does not support "
+                    "encoder_reuse (EDM Euler/Heun family only)"
+                )
+            dfn = self.make_denoiser_fn_cached(t)
+            return self.sampler(
+                dfn, randn, cond, uc=uc, rng=r_steps,
+                extras=(use_params, image_only_indicator),
+                encoder_reuse=int(encoder_reuse),
+            )
+        if "extras" in sampler_params:
             dfn = self.make_denoiser_fn_p(t)
             return self.sampler(
                 dfn, randn, cond, uc=uc, rng=r_steps,

@@ -124,6 +124,7 @@ def run_two_stage(
     skip_rembg: bool = False,
     scorer: Optional[ViewScorer] = None,
     score_views: bool = True,
+    encoder_reuse: int = 0,  # turbo for BOTH stages (approximate; 0 = exact)
 ) -> Dict:
     """Chain stage 1 → stage 2 → scoring. Returns paths + metrics.
 
@@ -144,6 +145,7 @@ def run_two_stage(
         seed=seed,
         fps=fps,
         skip_rembg=skip_rembg,
+        encoder_reuse=encoder_reuse,
     )
     if owns1:
         m1 = None  # free stage-1 weights/towers before stage 2 loads
@@ -168,6 +170,7 @@ def run_two_stage(
         resolution=stage2_resolution,
         seed=seed,
         fps=fps,
+        encoder_reuse=encoder_reuse,
     )
     if owns2:
         m2 = None
@@ -215,6 +218,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--no_metrics", action="store_true")
     p.add_argument("--vae_bf16", action="store_true",
                    help="cast the VAEs to bf16 too (reference .half() parity)")
+    p.add_argument("--encoder_reuse", type=int, default=0,
+                   help="turbo for both stages: run the UNet encoder only "
+                        "every k-th sampler step (Faster Diffusion; "
+                        "APPROXIMATE; 0 = exact reference semantics)")
     args = p.parse_args(argv)
 
     def _load(config_path, ckpt_path, res):
@@ -246,6 +253,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             fps=args.fps,
             skip_rembg=args.skip_rembg,
             score_views=not args.no_metrics,
+            encoder_reuse=args.encoder_reuse,
         )
     finally:
         if args.profile_dir:

@@ -56,6 +56,7 @@ def generate_orbit(
     num_steps: Optional[int] = None,
     randn: Optional[jax.Array] = None,  # (T, h/8, w/8, 4) unit noise
     batch_overrides: Optional[Dict] = None,  # applied after add_custom_cond
+    encoder_reuse: int = 0,  # turbo: UNet encoder every k-th step (approx.)
 ) -> np.ndarray:
     """frames (T, H, W, 3) in [-1,1] → generated orbit (T, H, W, 3) in [-1,1].
 
@@ -96,6 +97,7 @@ def generate_orbit(
         num_video_frames=t,
         rng=r_sample,
         randn=randn,
+        encoder_reuse=encoder_reuse,
     )
     timer.mark("sampler_steps", samples)
     decoded = model.decode_first_stage(samples)  # (T, H, W, 3) fp32
@@ -117,6 +119,7 @@ def run_pipeline(
     seed: Optional[int] = None,
     fps: int = 8,
     skip_rembg: bool = False,
+    encoder_reuse: int = 0,
 ) -> str:
     """Full stage-1 CLI behavior; returns the mp4 path."""
     if seed is not None:
@@ -136,7 +139,8 @@ def run_pipeline(
 
     out_frames: List[np.ndarray] = []
     for _ in range(num_iter):
-        video = generate_orbit(model, frames, elevation=elevation)
+        video = generate_orbit(model, frames, elevation=elevation,
+                               encoder_reuse=encoder_reuse)
         new = tensor2vid(video)
         # consecutive orbits share the boundary frame (reference :108-112)
         out_frames.extend(new if not out_frames else new[1:])
@@ -164,6 +168,11 @@ def main(argv: Optional[List[str]] = None) -> None:
                    help="cast the VAE to bf16 too (reference .half() runs "
                         "the VAE at reduced precision as well)")
     p.add_argument("--skip_rembg", action="store_true")
+    p.add_argument("--encoder_reuse", type=int, default=0,
+                   help="turbo: run the UNet encoder only every k-th sampler "
+                        "step, decode the rest from cached features (Faster "
+                        "Diffusion; APPROXIMATE — slightly changes outputs; "
+                        "0 = exact reference semantics)")
     args = p.parse_args(argv)
 
     model, _ = create_model(args.denoise_config)
@@ -194,6 +203,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             num_iter=args.num_iter,
             seed=args.seed,
             skip_rembg=args.skip_rembg,
+            encoder_reuse=args.encoder_reuse,
         )
     finally:
         if args.profile_dir:

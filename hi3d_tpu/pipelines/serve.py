@@ -54,6 +54,7 @@ class OrbitServer:
         images: np.ndarray,  # (B, H, W, 3) in [-1, 1]
         elevations: Optional[Sequence[float]] = None,
         rng: Optional[jax.Array] = None,
+        encoder_reuse: int = 0,  # turbo (approximate; 0 = exact)
     ) -> np.ndarray:
         """→ (B, T, H, W, 3) in [-1, 1]; B must divide by the mesh data size."""
         model = self.model
@@ -88,6 +89,7 @@ class OrbitServer:
             shape=(b * t, h // 8, w // 8, 4),
             num_video_frames=t,
             rng=r_sample,
+            encoder_reuse=encoder_reuse,
         )
         decoded = model.decode_first_stage(samples)
         out = np.asarray(
@@ -116,6 +118,7 @@ class RefineServer:
         masks: Optional[np.ndarray] = None,
         rng: Optional[jax.Array] = None,
         steps_per_launch: Optional[int] = 8,
+        encoder_reuse: int = 0,  # turbo (approximate; 0 = exact)
     ) -> np.ndarray:
         from .v2v import blend_refine_batch
 
@@ -134,6 +137,7 @@ class RefineServer:
             rng=rng,
             steps_per_launch=steps_per_launch,
             shard=_mesh_put(self.mesh),
+            encoder_reuse=encoder_reuse,
         )
 
 

@@ -124,6 +124,35 @@ def test_generate_orbit_shapes(model):
     assert float(np.abs(out).max()) <= 1.0
 
 
+def test_encoder_reuse_k1_matches_exact(model):
+    """Turbo with k=1 computes the encoder every step — identical math to
+    the exact path through the cache-threaded sampler scan."""
+    rnd = np.random.RandomState(7)
+    frames = (rnd.rand(T, RES, RES, 3).astype(np.float32)) * 2.0 - 1.0
+    noise = rnd.randn(T, RES // 8, RES // 8, 4).astype(np.float32)
+    kw = dict(elevation=5.0, rng=jax.random.PRNGKey(11),
+              randn=jnp.asarray(noise))
+    exact = generate_orbit(model, frames, **kw)
+    turbo = generate_orbit(model, frames, encoder_reuse=1, **kw)
+    np.testing.assert_allclose(turbo, exact, rtol=1e-4, atol=1e-5)
+
+
+def test_encoder_reuse_k2_runs_and_approximates(model):
+    """k=2 skips the encoder on half the steps: finite, correct shape, and
+    in the neighborhood of the exact result (same inputs/noise)."""
+    rnd = np.random.RandomState(8)
+    frames = (rnd.rand(T, RES, RES, 3).astype(np.float32)) * 2.0 - 1.0
+    noise = rnd.randn(T, RES // 8, RES // 8, 4).astype(np.float32)
+    kw = dict(elevation=5.0, rng=jax.random.PRNGKey(11),
+              randn=jnp.asarray(noise))
+    exact = generate_orbit(model, frames, **kw)
+    turbo = generate_orbit(model, frames, encoder_reuse=2, **kw)
+    assert turbo.shape == exact.shape
+    assert np.all(np.isfinite(turbo))
+    assert np.abs(turbo).max() <= 1.0 + 1e-6  # output is clipped
+    assert np.abs(turbo - exact).mean() < 0.5
+
+
 def test_run_pipeline_writes_mp4(model, tmp_path):
     import cv2
 
