@@ -9,7 +9,12 @@ before the next loads (16 GB chip; see pipelines/full.py docstring).
 Set HI3D_TIME_PHASES=1 (default here) for the per-phase breakdown lines.
 Prints one JSON summary line at the end.
 
+With --encoder_reuse k (k ≥ 2) each stage ALSO runs the encoder-propagation
+turbo path (same seed/noise) and reports its marginal plus the PSNR between
+turbo and exact outputs — the speed/quality trade of the approximation.
+
 Usage: python tools/bench_e2e.py [--stage 1|2|both] [--res1 512 --res2 1024]
+       [--encoder_reuse 2]
 """
 
 from __future__ import annotations
@@ -41,7 +46,15 @@ def _demo_frames(t: int, res: int) -> np.ndarray:
     return np.repeat((img * 2.0 - 1.0)[None], t, axis=0)
 
 
-def bench_stage1(res: int, t: int) -> dict:
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """PSNR in dB over [-1, 1]-ranged frames (peak-to-peak 2.0)."""
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(4.0 / mse)
+
+
+def bench_stage1(res: int, t: int, encoder_reuse: int = 0) -> dict:
     import jax
 
     from hi3d_tpu.pipelines.common import create_model
@@ -57,15 +70,26 @@ def bench_stage1(res: int, t: int) -> dict:
     generate_orbit(model, frames, elevation=0.0, rng=jax.random.PRNGKey(0))
     cold = time.time() - t0
     t0 = time.time()
-    generate_orbit(model, frames, elevation=0.0, rng=jax.random.PRNGKey(1))
+    exact = generate_orbit(model, frames, elevation=0.0,
+                           rng=jax.random.PRNGKey(1))
     marginal = time.time() - t0
+    out = {"stage1_cold_s": round(cold, 1),
+           "stage1_marginal_s": round(marginal, 2)}
+    if encoder_reuse:
+        k = int(encoder_reuse)
+        generate_orbit(model, frames, elevation=0.0,
+                       rng=jax.random.PRNGKey(0), encoder_reuse=k)  # compile
+        t0 = time.time()
+        turbo = generate_orbit(model, frames, elevation=0.0,
+                               rng=jax.random.PRNGKey(1), encoder_reuse=k)
+        out[f"stage1_turbo_k{k}_marginal_s"] = round(time.time() - t0, 2)
+        out[f"stage1_turbo_k{k}_psnr_db"] = round(_psnr(turbo, exact), 2)
     del model
     gc.collect()
-    return {"stage1_cold_s": round(cold, 1),
-            "stage1_marginal_s": round(marginal, 2)}
+    return out
 
 
-def bench_stage2(res: int, t: int) -> dict:
+def bench_stage2(res: int, t: int, encoder_reuse: int = 0) -> dict:
     import jax
 
     from hi3d_tpu.pipelines.common import create_model
@@ -86,12 +110,22 @@ def bench_stage2(res: int, t: int) -> dict:
     blend_refine(model, frames, masks, rng=jax.random.PRNGKey(0))
     cold = time.time() - t0
     t0 = time.time()
-    blend_refine(model, frames, masks, rng=jax.random.PRNGKey(1))
+    exact = blend_refine(model, frames, masks, rng=jax.random.PRNGKey(1))
     marginal = time.time() - t0
+    out = {"stage2_cold_s": round(cold, 1),
+           "stage2_marginal_s": round(marginal, 2)}
+    if encoder_reuse:
+        k = int(encoder_reuse)
+        blend_refine(model, frames, masks, rng=jax.random.PRNGKey(0),
+                     encoder_reuse=k)  # compile
+        t0 = time.time()
+        turbo = blend_refine(model, frames, masks, rng=jax.random.PRNGKey(1),
+                             encoder_reuse=k)
+        out[f"stage2_turbo_k{k}_marginal_s"] = round(time.time() - t0, 2)
+        out[f"stage2_turbo_k{k}_psnr_db"] = round(_psnr(turbo, exact), 2)
     del model
     gc.collect()
-    return {"stage2_cold_s": round(cold, 1),
-            "stage2_marginal_s": round(marginal, 2)}
+    return out
 
 
 def main() -> None:
@@ -100,13 +134,15 @@ def main() -> None:
     ap.add_argument("--res1", type=int, default=512)
     ap.add_argument("--res2", type=int, default=1024)
     ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--encoder_reuse", type=int, default=0,
+                    help="also A/B the turbo path at this k (0 = off)")
     args = ap.parse_args()
 
     out = {}
     if args.stage in ("1", "both"):
-        out.update(bench_stage1(args.res1, args.frames))
+        out.update(bench_stage1(args.res1, args.frames, args.encoder_reuse))
     if args.stage in ("2", "both"):
-        out.update(bench_stage2(args.res2, args.frames))
+        out.update(bench_stage2(args.res2, args.frames, args.encoder_reuse))
     if "stage1_marginal_s" in out and "stage2_marginal_s" in out:
         out["asset_marginal_s"] = round(
             out["stage1_marginal_s"] + out["stage2_marginal_s"], 2
