@@ -113,6 +113,28 @@ def test_refine_batch_matches_single(stage2_model):
     assert np.abs(out - ref).mean() / denom < 0.15
 
 
+def test_servers_run_turbo_sharded(model, stage2_model):
+    """Encoder-propagation turbo under a sharded mesh: the encoder cache
+    (per-block skip activations) threads through the lax.cond-selected scan
+    with frame-sharded arrays on both servers."""
+    from hi3d_tpu.pipelines.serve import RefineServer
+
+    mesh = make_mesh(data=4)
+    img = (np.random.RandomState(4).rand(1, RES, RES, 3).astype(np.float32)) * 2 - 1
+    out1 = OrbitServer(model, mesh=mesh).generate(
+        img, elevations=[5.0], rng=jax.random.PRNGKey(2), encoder_reuse=2
+    )
+    assert out1.shape == (1, T, RES, RES, 3)
+    assert np.all(np.isfinite(out1))
+
+    videos = np.repeat(img[:, None], T, axis=1)
+    out2 = RefineServer(stage2_model, mesh=mesh).refine(
+        videos, elevations=[5.0], rng=jax.random.PRNGKey(2), encoder_reuse=2
+    )
+    assert out2.shape == (1, T, RES, RES, 3)
+    assert np.all(np.isfinite(out2))
+
+
 def test_two_stage_server_submesh_split(model, stage2_model):
     """TwoStageServer: each stage on its own submesh; refined output at the
     stage-2 resolution; pipelined stream yields every batch."""
