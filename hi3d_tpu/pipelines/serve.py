@@ -210,23 +210,39 @@ class TwoStageServer:
         elevations: Optional[Sequence[float]] = None,
         rng: Optional[jax.Array] = None,
         stage2_hw: Optional[Sequence[int]] = None,
+        encoder_reuse: int = 0,
     ) -> np.ndarray:
         """→ refined (B, T, H2, W2, 3) in [-1, 1]."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
         r1, r2 = jax.random.split(rng)
-        videos = self.orbit.generate(images, elevations=elevations, rng=r1)
+        videos = self.orbit.generate(images, elevations=elevations, rng=r1,
+                                     encoder_reuse=encoder_reuse)
         videos = self._to_stage2_res(videos, stage2_hw)
-        return self.refine.refine(videos, elevations=elevations, rng=r2)
+        return self.refine.refine(videos, elevations=elevations, rng=r2,
+                                  encoder_reuse=encoder_reuse)
 
     def generate_stream(self, batches, elevations=None, rng=None,
-                        stage2_hw=None):
+                        stage2_hw=None, encoder_reuse: int = 0):
         """Pipelined generator over an iterable of image batches: stage-1 of
         batch N+1 runs while stage-2 of batch N drains its submesh. A
         consumer-side failure cancels the producer cleanly (no thread left
-        blocked on the handoff queue)."""
+        blocked on the handoff queue). `elevations` may be a scalar (applied
+        to every asset — batches may differ in size) or a per-asset list
+        valid for every batch."""
         import threading
         import queue
+
+        if np.isscalar(elevations):
+            scalar_elev = float(elevations)
+            elevations = None
+        else:
+            scalar_elev = None
+
+        def _elev(b: int):
+            if scalar_elev is not None:
+                return [scalar_elev] * b
+            return elevations
 
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -250,7 +266,8 @@ class TwoStageServer:
                         return
                     r1 = jax.random.fold_in(rng, 2 * i)
                     if not _put((self.orbit.generate(
-                            images, elevations=elevations, rng=r1), i)):
+                            images, elevations=_elev(len(images)), rng=r1,
+                            encoder_reuse=encoder_reuse), i)):
                         return
             except Exception as e:  # surfaced by the consumer loop
                 err.append(e)
@@ -268,7 +285,8 @@ class TwoStageServer:
                 videos = self._to_stage2_res(videos, stage2_hw)
                 r2 = jax.random.fold_in(rng, 2 * i + 1)
                 yield self.refine.refine(
-                    videos, elevations=elevations, rng=r2
+                    videos, elevations=_elev(len(videos)), rng=r2,
+                    encoder_reuse=encoder_reuse,
                 )
         finally:
             stop.set()
@@ -280,3 +298,132 @@ class TwoStageServer:
                       "batch; submesh-1 busy until it completes")
         if err:
             raise err[0]
+
+
+def _load_model(config_path: str, ckpt_path: str, res: int, clip_size: int,
+                vae_bf16: bool = False):
+    import os
+
+    from .common import create_model
+
+    model, _ = create_model(config_path)
+    model.init(latent_hw=(res // 8, res // 8), num_frames=2)
+    if ckpt_path and os.path.exists(ckpt_path):
+        model.init_from_ckpt(ckpt_path)
+    else:
+        print(f"[serve] checkpoint {ckpt_path!r} not found — random weights "
+              "(smoke mode)")
+    model.cast_weights_to_compute_dtype(include_first_stage=vae_bf16)
+    model.num_samples = clip_size
+    return model
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    """Batch-serving CLI: a directory of images → per-asset orbit mp4s,
+    sharded over all local devices. The reference has no serving mode (one
+    asset per CLI run, pipeline_i2v_eval_v01.py); this is the TPU scale-out
+    surface of the same two-stage pipeline.
+
+    Modes:
+      orbit      — stage 1 only (B assets batched over the mesh)
+      two_stage  — stage 1 + stage 2 on disjoint submeshes, stage-1 of
+                   batch N+1 overlapped with stage-2 of batch N
+    """
+    import argparse
+    import glob
+    import os
+    import time
+
+    from ..utils.image import load_image_rgb, resize_center_crop, to_tensor_range
+    from ..utils.video import export_to_video, tensor2vid
+
+    p = argparse.ArgumentParser(
+        description="Hi3D batched serving over the local device mesh"
+    )
+    p.add_argument("--image_dir", required=True,
+                   help="directory of input images (png/jpg)")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--mode", default="orbit", choices=["orbit", "two_stage"])
+    p.add_argument("--batch", type=int, default=0,
+                   help="assets per batch (default: one batch of all images, "
+                        "padded to the mesh divisibility requirement)")
+    p.add_argument("--stage1_config", default="configs/inference-v01.yaml")
+    p.add_argument("--stage1_checkpoint", default="ckpts/first_stage.pt")
+    p.add_argument("--stage2_config", default="configs/inference-v02.yaml")
+    p.add_argument("--stage2_checkpoint", default="ckpts/second_stage.pt")
+    p.add_argument("--elevation", type=float, default=0.0)
+    p.add_argument("--clip_size", type=int, default=16)
+    p.add_argument("--resolution", type=int, nargs=2, default=[512, 512])
+    p.add_argument("--stage2_resolution", type=int, nargs=2,
+                   default=[1024, 1024])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fps", type=int, default=8)
+    p.add_argument("--vae_bf16", action="store_true")
+    p.add_argument("--encoder_reuse", type=int, default=0,
+                   help="turbo: UNet encoder every k-th sampler step "
+                        "(APPROXIMATE; 0 = exact)")
+    args = p.parse_args(argv)
+
+    paths = sorted(
+        q for pat in ("*.png", "*.jpg", "*.jpeg", "*.webp")
+        for q in glob.glob(os.path.join(args.image_dir, pat))
+    )
+    if not paths:
+        raise SystemExit(f"no images found under {args.image_dir!r}")
+    res = tuple(args.resolution)
+    images = np.stack([
+        to_tensor_range(resize_center_crop(load_image_rgb(q), res))
+        for q in paths
+    ])
+    names = [os.path.splitext(os.path.basename(q))[0] for q in paths]
+    print(f"[serve] {len(paths)} assets, {jax.device_count()} devices, "
+          f"mode={args.mode}")
+
+    bsz = args.batch or len(paths)
+    batches = [images[i : i + bsz] for i in range(0, len(images), bsz)]
+    rng = jax.random.PRNGKey(args.seed)
+    os.makedirs(args.output_dir, exist_ok=True)
+    t0 = time.time()
+
+    def _export(videos: np.ndarray, offset: int) -> None:
+        for j, vid in enumerate(videos):
+            name = names[offset + j]
+            out = os.path.join(args.output_dir, name, "orbit.mp4")
+            export_to_video(tensor2vid(vid), out, fps=args.fps)
+            print(f"[serve] wrote {out}")
+
+    if args.mode == "orbit":
+        model = _load_model(args.stage1_config, args.stage1_checkpoint,
+                            res[0], args.clip_size, args.vae_bf16)
+        server = OrbitServer(model)
+        done = 0
+        for i, chunk in enumerate(batches):
+            videos = server.generate(
+                chunk, elevations=[args.elevation] * len(chunk),
+                rng=jax.random.fold_in(rng, i),
+                encoder_reuse=args.encoder_reuse,
+            )
+            _export(videos, done)
+            done += len(chunk)
+    else:
+        m1 = _load_model(args.stage1_config, args.stage1_checkpoint,
+                         res[0], args.clip_size, args.vae_bf16)
+        m2 = _load_model(args.stage2_config, args.stage2_checkpoint,
+                         args.stage2_resolution[0], args.clip_size,
+                         args.vae_bf16)
+        server = TwoStageServer(m1, m2)
+        done = 0
+        for videos in server.generate_stream(
+            batches, elevations=args.elevation, rng=rng,
+            stage2_hw=tuple(args.stage2_resolution),
+            encoder_reuse=args.encoder_reuse,
+        ):
+            _export(videos, done)
+            done += len(videos)
+    dt = time.time() - t0
+    print(f"[serve] {len(paths)} assets in {dt:.1f}s "
+          f"({dt / len(paths):.1f}s/asset incl. compile)")
+
+
+if __name__ == "__main__":
+    main()

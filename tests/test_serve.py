@@ -135,6 +135,44 @@ def test_servers_run_turbo_sharded(model, stage2_model):
     assert np.all(np.isfinite(out2))
 
 
+def test_serve_cli_orbit_mode(tmp_path):
+    """`python -m hi3d_tpu.pipelines.serve --mode orbit` end to end: image
+    dir → batched sharded generation → per-asset orbit.mp4."""
+    import os
+
+    import cv2
+    import yaml
+
+    from hi3d_tpu.pipelines import serve
+
+    cfg_path = str(tmp_path / "tiny-v01.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({"model": tiny_config(num_steps=2)}, f)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rnd = np.random.RandomState(0)
+    for name in ("a", "b"):
+        cv2.imwrite(str(img_dir / f"{name}.png"),
+                    (rnd.rand(RES, RES, 3) * 255).astype(np.uint8))
+
+    out_dir = str(tmp_path / "out")
+    serve.main([
+        "--image_dir", str(img_dir), "--output_dir", out_dir,
+        "--mode", "orbit", "--stage1_config", cfg_path,
+        "--stage1_checkpoint", "", "--clip_size", str(T),
+        "--resolution", str(RES), str(RES), "--batch", "2",
+        "--elevation", "10",
+    ])
+    from hi3d_tpu.utils.video import import_video
+
+    for name in ("a", "b"):
+        mp4 = os.path.join(out_dir, name, "orbit.mp4")
+        assert os.path.exists(mp4)
+        vid = import_video(mp4)
+        assert len(vid) >= T and vid[0].shape == (RES, RES, 3)
+
+
 def test_two_stage_server_submesh_split(model, stage2_model):
     """TwoStageServer: each stage on its own submesh; refined output at the
     stage-2 resolution; pipelined stream yields every batch."""
