@@ -235,16 +235,11 @@ class EDMSampler(SingleStepDiffusionSampler):
                     "denoiser (pass extras=...; see "
                     "engine.make_denoiser_fn_cached)"
                 )
-            k = int(encoder_reuse)
-            # encoder runs on every k-th step and the last; the rest decode
-            # from the cached encoder features
-            flags = jnp.asarray(
-                [i % k != 0 and i != n - 1 for i in range(n)]
-            )
-            xs = xs + (flags,)
+            from .encoder_reuse import reuse_flags, zero_cache
 
-            # zero-filled cache with the real (CFG-doubled) shapes; step 0
-            # always computes fully, so the zeros never reach an output
+            k = int(encoder_reuse)
+            xs = xs + (reuse_flags(n, k),)
+
             def _probe(x):
                 cell = {}
 
@@ -255,8 +250,13 @@ class EDMSampler(SingleStepDiffusionSampler):
                 self.denoise(x, den, s_in * sigmas[0], cond, uc)
                 return cell["c"]
 
-            shapes = jax.eval_shape(_probe, x)
-            cache = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+            # param dtype in the key: cast_weights_to_compute_dtype changes
+            # the cached activations' dtype without changing any shape
+            pdt = str(jax.tree_util.tree_leaves(extras)[0].dtype)
+            cache = zero_cache(
+                self, ("turbo_cache", denoiser, x.shape, str(x.dtype), pdt),
+                _probe, x,
+            )
             runner = self._threaded_runner_cached(denoiser)
             if not chunk or chunk >= n:
                 x, _ = runner(extras, x, cache, xs, s_in, cond, uc)

@@ -30,3 +30,31 @@ def create_model(
     if "base_learning_rate" in cfg.get("model", {}):
         model.base_learning_rate = cfg["model"]["base_learning_rate"]
     return model, cfg
+
+
+def load_inference_model(
+    config_path: str,
+    ckpt_path: Optional[str],
+    res: int,
+    vae_bf16: bool = False,
+    clip_size: Optional[int] = None,
+    tag: str = "load",
+):
+    """Build + init + checkpoint-load + inference-cast one engine — the
+    shared load sequence of the full/serve CLIs (reference CLIs do
+    create_model → init_from_ckpt → .cuda().half(),
+    pipeline_i2v_eval_v01.py:50-52). Missing checkpoints fall back to random
+    weights with a printed smoke-mode notice."""
+    import os
+
+    model, _ = create_model(config_path)
+    model.init(latent_hw=(res // 8, res // 8), num_frames=2)
+    if ckpt_path and os.path.exists(ckpt_path):
+        model.init_from_ckpt(ckpt_path)
+    else:
+        print(f"[{tag}] checkpoint {ckpt_path!r} not found — random weights "
+              "(smoke mode)")
+    model.cast_weights_to_compute_dtype(include_first_stage=vae_bf16)
+    if clip_size is not None:
+        model.num_samples = int(clip_size)
+    return model

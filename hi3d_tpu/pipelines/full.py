@@ -33,7 +33,6 @@ import jax.numpy as jnp
 from ..models.clip import clip_normalize, resize_bilinear, vit_l_14
 from ..utils.image import load_image_rgb
 from ..utils.video import import_video
-from .common import create_model
 from . import i2v, v2v
 
 
@@ -225,15 +224,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     args = p.parse_args(argv)
 
     def _load(config_path, ckpt_path, res):
-        model, _ = create_model(config_path)
-        model.init(latent_hw=(res // 8, res // 8), num_frames=2)
-        if ckpt_path and os.path.exists(ckpt_path):
-            model.init_from_ckpt(ckpt_path)
-        else:
-            print(f"[full] checkpoint {ckpt_path!r} not found — random "
-                  "weights (smoke mode)")
-        model.cast_weights_to_compute_dtype(include_first_stage=args.vae_bf16)
-        return model
+        from .common import load_inference_model
+
+        return load_inference_model(
+            config_path, ckpt_path, res, vae_bf16=args.vae_bf16, tag="full"
+        )
 
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)

@@ -228,8 +228,8 @@ class TwoStageServer:
         batch N+1 runs while stage-2 of batch N drains its submesh. A
         consumer-side failure cancels the producer cleanly (no thread left
         blocked on the handoff queue). `elevations` may be a scalar (applied
-        to every asset — batches may differ in size) or a per-asset list
-        valid for every batch."""
+        to every asset — batches may then differ in size) or a per-asset
+        list applied to EVERY batch (every batch must have that size)."""
         import threading
         import queue
 
@@ -238,10 +238,20 @@ class TwoStageServer:
             elevations = None
         else:
             scalar_elev = None
+            if elevations is not None:
+                elevations = list(elevations)
 
         def _elev(b: int):
             if scalar_elev is not None:
                 return [scalar_elev] * b
+            if elevations is None:
+                return None
+            if len(elevations) != b:
+                raise ValueError(
+                    f"per-asset elevations has {len(elevations)} entries but "
+                    f"this batch has {b} assets — a list applies to every "
+                    "batch; pass a scalar for variable-size batches"
+                )
             return elevations
 
         if rng is None:
@@ -265,9 +275,10 @@ class TwoStageServer:
                     if stop.is_set():
                         return
                     r1 = jax.random.fold_in(rng, 2 * i)
+                    elev = _elev(len(images))
                     if not _put((self.orbit.generate(
-                            images, elevations=_elev(len(images)), rng=r1,
-                            encoder_reuse=encoder_reuse), i)):
+                            images, elevations=elev, rng=r1,
+                            encoder_reuse=encoder_reuse), i, elev)):
                         return
             except Exception as e:  # surfaced by the consumer loop
                 err.append(e)
@@ -281,11 +292,11 @@ class TwoStageServer:
                 item = q.get()
                 if item is None:
                     break
-                videos, i = item
+                videos, i, elev = item
                 videos = self._to_stage2_res(videos, stage2_hw)
                 r2 = jax.random.fold_in(rng, 2 * i + 1)
                 yield self.refine.refine(
-                    videos, elevations=_elev(len(videos)), rng=r2,
+                    videos, elevations=elev, rng=r2,
                     encoder_reuse=encoder_reuse,
                 )
         finally:
@@ -300,22 +311,23 @@ class TwoStageServer:
             raise err[0]
 
 
-def _load_model(config_path: str, ckpt_path: str, res: int, clip_size: int,
-                vae_bf16: bool = False):
+def _unique_names(paths: Sequence[str]) -> list:
+    """File stems, de-duplicated (a.png + a.jpg must not share an output
+    dir) by appending the extension and then an index if still colliding."""
     import os
 
-    from .common import create_model
-
-    model, _ = create_model(config_path)
-    model.init(latent_hw=(res // 8, res // 8), num_frames=2)
-    if ckpt_path and os.path.exists(ckpt_path):
-        model.init_from_ckpt(ckpt_path)
-    else:
-        print(f"[serve] checkpoint {ckpt_path!r} not found — random weights "
-              "(smoke mode)")
-    model.cast_weights_to_compute_dtype(include_first_stage=vae_bf16)
-    model.num_samples = clip_size
-    return model
+    names, seen = [], set()
+    for q in paths:
+        base = os.path.basename(q)
+        name = os.path.splitext(base)[0]
+        if name in seen:
+            name = base.replace(".", "_")
+        stem, i = name, 1
+        while name in seen:
+            name, i = f"{stem}_{i}", i + 1
+        seen.add(name)
+        names.append(name)
+    return names
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
@@ -345,8 +357,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--output_dir", required=True)
     p.add_argument("--mode", default="orbit", choices=["orbit", "two_stage"])
     p.add_argument("--batch", type=int, default=0,
-                   help="assets per batch (default: one batch of all images, "
-                        "padded to the mesh divisibility requirement)")
+                   help="assets per batch (default: one batch of all "
+                        "images); a smaller final batch is padded up to "
+                        "this size so every launch reuses one compiled "
+                        "executable, and the padded outputs are dropped")
     p.add_argument("--stage1_config", default="configs/inference-v01.yaml")
     p.add_argument("--stage1_checkpoint", default="ckpts/first_stage.pt")
     p.add_argument("--stage2_config", default="configs/inference-v02.yaml")
@@ -375,11 +389,26 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         to_tensor_range(resize_center_crop(load_image_rgb(q), res))
         for q in paths
     ])
-    names = [os.path.splitext(os.path.basename(q))[0] for q in paths]
+    names = _unique_names(paths)
     print(f"[serve] {len(paths)} assets, {jax.device_count()} devices, "
           f"mode={args.mode}")
 
-    bsz = args.batch or len(paths)
+    from .common import load_inference_model
+
+    n_real = len(images)
+    bsz = args.batch or n_real
+    n_dev = jax.device_count()
+    if (bsz * args.clip_size) % n_dev:
+        raise SystemExit(
+            f"--batch {bsz} × --clip_size {args.clip_size} must divide the "
+            f"{n_dev}-device mesh; pick a batch size with "
+            f"(batch·frames) % devices == 0"
+        )
+    # pad the final partial batch (repeating the last image) so every launch
+    # has the same shape — one compiled executable — then drop the padding
+    if n_real % bsz:
+        pad = bsz - n_real % bsz
+        images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
     batches = [images[i : i + bsz] for i in range(0, len(images), bsz)]
     rng = jax.random.PRNGKey(args.seed)
     os.makedirs(args.output_dir, exist_ok=True)
@@ -387,14 +416,18 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
     def _export(videos: np.ndarray, offset: int) -> None:
         for j, vid in enumerate(videos):
+            if offset + j >= n_real:
+                return  # padding
             name = names[offset + j]
             out = os.path.join(args.output_dir, name, "orbit.mp4")
             export_to_video(tensor2vid(vid), out, fps=args.fps)
             print(f"[serve] wrote {out}")
 
     if args.mode == "orbit":
-        model = _load_model(args.stage1_config, args.stage1_checkpoint,
-                            res[0], args.clip_size, args.vae_bf16)
+        model = load_inference_model(
+            args.stage1_config, args.stage1_checkpoint, res[0],
+            vae_bf16=args.vae_bf16, clip_size=args.clip_size, tag="serve",
+        )
         server = OrbitServer(model)
         done = 0
         for i, chunk in enumerate(batches):
@@ -406,11 +439,15 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             _export(videos, done)
             done += len(chunk)
     else:
-        m1 = _load_model(args.stage1_config, args.stage1_checkpoint,
-                         res[0], args.clip_size, args.vae_bf16)
-        m2 = _load_model(args.stage2_config, args.stage2_checkpoint,
-                         args.stage2_resolution[0], args.clip_size,
-                         args.vae_bf16)
+        m1 = load_inference_model(
+            args.stage1_config, args.stage1_checkpoint, res[0],
+            vae_bf16=args.vae_bf16, clip_size=args.clip_size, tag="serve",
+        )
+        m2 = load_inference_model(
+            args.stage2_config, args.stage2_checkpoint,
+            args.stage2_resolution[0],
+            vae_bf16=args.vae_bf16, clip_size=args.clip_size, tag="serve",
+        )
         server = TwoStageServer(m1, m2)
         done = 0
         for videos in server.generate_stream(
@@ -421,8 +458,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             _export(videos, done)
             done += len(videos)
     dt = time.time() - t0
-    print(f"[serve] {len(paths)} assets in {dt:.1f}s "
-          f"({dt / len(paths):.1f}s/asset incl. compile)")
+    print(f"[serve] {n_real} assets in {dt:.1f}s "
+          f"({dt / n_real:.1f}s/asset incl. compile)")
 
 
 if __name__ == "__main__":

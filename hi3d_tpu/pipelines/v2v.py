@@ -166,12 +166,10 @@ def blend_refine_batch(
            encoder_reuse)
 
     if encoder_reuse:
+        from ..diffusion.encoder_reuse import reuse_flags, zero_cache
+
         dfnc = model.make_denoiser_fn_cached(t)
-        # encoder runs on every k-th step and the last; in between the UNet
-        # decodes from the cached encoder features
-        reuse_mask = jnp.asarray(
-            [i % encoder_reuse != 0 and i != n - 1 for i in range(n)]
-        )
+        reuse_mask = reuse_flags(n, encoder_reuse)
 
     def make():
 
@@ -233,9 +231,8 @@ def blend_refine_batch(
     run = instance_cache(model, key, make)
     timer.mark("setup")
     if encoder_reuse:
-        # zero-filled cache with the real (CFG-doubled) shapes; step 0
-        # always computes, so the zeros never reach an output
-        def _cache_shapes(lat):
+
+        def _probe(lat):
             cell = {}
 
             def den2(xx, ss, cc):
@@ -247,8 +244,10 @@ def blend_refine_batch(
             )
             return cell["c"]
 
-        shapes = jax.eval_shape(_cache_shapes, latents)
-        cache = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        # param dtype in the key: cast_weights_to_compute_dtype changes the
+        # cached activations' dtype without changing any shape
+        pdt = str(jax.tree_util.tree_leaves(use_params)[0].dtype)
+        cache = zero_cache(model, ("turbo_cache", pdt) + key, _probe, latents)
         for s0 in range(0, n, chunk):
             latents, cache = run(
                 use_params, latents, cache, idx[s0 : s0 + chunk], z,

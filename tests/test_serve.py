@@ -137,7 +137,9 @@ def test_servers_run_turbo_sharded(model, stage2_model):
 
 def test_serve_cli_orbit_mode(tmp_path):
     """`python -m hi3d_tpu.pipelines.serve --mode orbit` end to end: image
-    dir → batched sharded generation → per-asset orbit.mp4."""
+    dir → batched sharded generation → per-asset orbit.mp4. Covers the
+    padded final partial batch (3 assets, --batch 2) and stem-colliding
+    input names (a.png + a.jpg)."""
     import os
 
     import cv2
@@ -152,8 +154,8 @@ def test_serve_cli_orbit_mode(tmp_path):
     img_dir = tmp_path / "imgs"
     img_dir.mkdir()
     rnd = np.random.RandomState(0)
-    for name in ("a", "b"):
-        cv2.imwrite(str(img_dir / f"{name}.png"),
+    for fname in ("a.png", "b.png", "a.jpg"):
+        cv2.imwrite(str(img_dir / fname),
                     (rnd.rand(RES, RES, 3) * 255).astype(np.uint8))
 
     out_dir = str(tmp_path / "out")
@@ -166,7 +168,12 @@ def test_serve_cli_orbit_mode(tmp_path):
     ])
     from hi3d_tpu.utils.video import import_video
 
-    for name in ("a", "b"):
+    # glob order: a.jpg, a.png, b.png → names a_jpg-style dedup for the stem
+    # collision; exactly the 3 real assets are written (padding dropped)
+    written = sorted(os.listdir(out_dir))
+    assert len(written) == 3, written
+    assert "b" in written and "a" in written
+    for name in written:
         mp4 = os.path.join(out_dir, name, "orbit.mp4")
         assert os.path.exists(mp4)
         vid = import_video(mp4)

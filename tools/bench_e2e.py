@@ -47,11 +47,13 @@ def _demo_frames(t: int, res: int) -> np.ndarray:
 
 
 def _psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """PSNR in dB over [-1, 1]-ranged frames (peak-to-peak 2.0)."""
+    """PSNR in dB over [-1, 1]-ranged frames (peak-to-peak 2.0), capped at
+    99 dB (identical outputs) so the summary stays strict JSON — Infinity is
+    not valid JSON and would break the one-parseable-line contract."""
     mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
     if mse == 0.0:
-        return float("inf")
-    return 10.0 * np.log10(4.0 / mse)
+        return 99.0
+    return min(10.0 * np.log10(4.0 / mse), 99.0)
 
 
 def bench_stage1(res: int, t: int, encoder_reuse: int = 0) -> dict:
