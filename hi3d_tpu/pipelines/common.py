@@ -35,20 +35,21 @@ def create_model(
 def load_inference_model(
     config_path: str,
     ckpt_path: Optional[str],
-    res: int,
+    res,  # int side or (H, W)
     vae_bf16: bool = False,
     clip_size: Optional[int] = None,
     tag: str = "load",
 ):
     """Build + init + checkpoint-load + inference-cast one engine — the
-    shared load sequence of the full/serve CLIs (reference CLIs do
+    shared load sequence of every inference CLI (reference CLIs do
     create_model → init_from_ckpt → .cuda().half(),
     pipeline_i2v_eval_v01.py:50-52). Missing checkpoints fall back to random
     weights with a printed smoke-mode notice."""
     import os
 
+    h, w = (res, res) if isinstance(res, int) else tuple(res)
     model, _ = create_model(config_path)
-    model.init(latent_hw=(res // 8, res // 8), num_frames=2)
+    model.init(latent_hw=(h // 8, w // 8), num_frames=2)
     if ckpt_path and os.path.exists(ckpt_path):
         model.init_from_ckpt(ckpt_path)
     else:

@@ -33,7 +33,6 @@ from ..utils.image import (
     to_tensor_range,
 )
 from ..utils.video import export_to_video, tensor2vid
-from .common import create_model
 
 UC_ZERO_KEYS = ("cond_frames", "cond_frames_without_noise")
 
@@ -175,17 +174,12 @@ def main(argv: Optional[List[str]] = None) -> None:
                         "0 = exact reference semantics)")
     args = p.parse_args(argv)
 
-    model, _ = create_model(args.denoise_config)
+    from .common import load_inference_model
+
     t0 = time.time()
-    model.init(latent_hw=(args.resolution[0] // 8, args.resolution[1] // 8),
-               num_frames=2)
-    if args.denoise_checkpoint and os.path.exists(args.denoise_checkpoint):
-        model.init_from_ckpt(args.denoise_checkpoint)
-    else:
-        print(f"[i2v] checkpoint {args.denoise_checkpoint!r} not found — "
-              "running with random weights (smoke mode)")
-    model.cast_weights_to_compute_dtype(  # inference .half() parity
-        include_first_stage=args.vae_bf16
+    model = load_inference_model(
+        args.denoise_config, args.denoise_checkpoint, args.resolution,
+        vae_bf16=args.vae_bf16, tag="i2v",
     )
     print(f"[i2v] model ready in {time.time() - t0:.1f}s")
 
