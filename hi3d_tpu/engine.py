@@ -651,3 +651,44 @@ class VideoLDMStage2(VideoLDM):
         if "image_only_indicator" not in batch:
             batch["image_only_indicator"] = jnp.zeros((n, self.num_samples))
         return batch
+
+    def log_images(
+        self,
+        batch: Dict,
+        n: int = 1,
+        sample: bool = True,
+        params=None,
+        rng: Optional[jax.Array] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Base media plus the stage-2 extras (reference
+        vtdm_gen_stage2_degradeImage.py:146-151): the DPT depth maps
+        (un-pixel-shuffled from the first 9 concat channels, grayscale →
+        RGB in [-1, 1]) and the VAE-decoded conditioning video (last 4
+        concat channels, raw latents like the reference's)."""
+        rng = default(rng, self.next_rng())
+        r_base, r_custom, r_cond = jax.random.split(rng, 3)
+        log = super().log_images(
+            batch, n=n, sample=sample, params=params, rng=r_base
+        )
+        if self.conditioner is None:
+            return log
+        cbatch = self.add_custom_cond(batch, infer=True, rng=r_custom)
+        c = self.conditioner(cbatch, rng=r_cond, ucg_enabled=False)
+        t = self.num_samples
+        concat = c["concat"][: n * t].astype(jnp.float32)
+        depth, z_cond = concat[..., :9], concat[..., 9:]
+
+        # inverse of DepthEmbedder's pixel-unshuffle (conditioners.py):
+        # (n·t, h, w, 3·3) → (n·t, 3h, 3w)
+        bt, h8, w8 = depth.shape[:3]
+        d = depth.reshape(bt, h8, w8, 3, 3).transpose(0, 1, 3, 2, 4)
+        d = d.reshape(bt, h8 * 3, w8 * 3)
+        d = jnp.repeat(d[..., None], 3, axis=-1) * 2.0 - 1.0
+        log["depth-video"] = np.asarray(
+            d.reshape(n, t, *d.shape[1:]), np.float32
+        )
+        dec = self.decode_first_stage(z_cond * self.scale_factor)
+        log["cond-video"] = np.asarray(
+            dec.reshape(n, t, *dec.shape[1:]), np.float32
+        )
+        return log

@@ -57,6 +57,26 @@ def model():
     return m
 
 
+def test_stage2_log_images_extras(model):
+    """Stage-2 log_images adds depth-video (un-pixel-shuffled, RGB in
+    [-1,1]) and cond-video (decoded conditioning latents) — reference
+    vtdm_gen_stage2_degradeImage.py:146-151."""
+    rnd = np.random.RandomState(5)
+    video = rnd.rand(1, T, RES, RES, 3).astype(np.float32) * 2 - 1
+    batch = {"video": jnp.asarray(video),
+             "elevation": jnp.asarray([5.0], jnp.float32)}
+    log = model.log_images(batch, n=1, sample=False,
+                           rng=jax.random.PRNGKey(0))
+    assert "inputs" in log and "reconstructions" in log
+    h8 = RES // 8
+    assert log["depth-video"].shape == (1, T, h8 * 3, h8 * 3, 3)
+    assert log["cond-video"].shape == (1, T, RES, RES, 3)
+    for k in ("depth-video", "cond-video"):
+        assert np.all(np.isfinite(log[k])), k
+    assert log["depth-video"].min() >= -1.0 - 1e-5
+    assert log["depth-video"].max() <= 1.0 + 1e-5
+
+
 def test_blend_refine_shapes(model):
     frames = np.random.RandomState(0).rand(T, RES, RES, 3).astype(np.float32)
     frames = frames * 2.0 - 1.0
