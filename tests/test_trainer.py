@@ -197,3 +197,28 @@ def test_resolve_data_batch_per_device_semantics():
 
     scaled, per_dev = resolve_data_batch({"target": "x"}, 4)
     assert (per_dev, scaled["params"]["batch_size"]) == (1, 4)
+
+
+def test_train_cli_reference_flag_surface():
+    """The reference README's exact training flags parse (train_ddp_spawn.py
+    surface incl. short aliases, --no-test, --postfix, --debug)."""
+    import train as train_cli
+
+    args, unknown = train_cli.parse_args([
+        "--base", "configs/train-v01.yaml", "--no-test", "True",
+        "--train", "True", "--logdir", "outputs/logs/train-v01",
+    ])
+    assert args.no_test is True and args.train is True
+    assert args.logdir == "outputs/logs/train-v01"
+    assert unknown == []
+
+    args, _ = train_cli.parse_args([
+        "-b", "a.yaml", "-t", "False", "-s", "7", "-f", "_x",
+        "-o", "out.safetensors", "-d", "True", "-p", "proj", "-n", "run",
+        "-l", "ld", "-r", "logs/prev",
+    ])
+    assert args.base == ["a.yaml"] and args.train is False
+    assert args.seed == 7 and args.postfix == "_x" and args.debug is True
+    assert args.projectname == "proj" and args.name == "run"
+    assert args.logdir == "ld" and args.resume == "logs/prev"
+    assert args.outckpt == "out.safetensors"

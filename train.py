@@ -27,23 +27,36 @@ def str2bool(v: str) -> bool:
 
 
 def parse_args(argv=None):
+    # flag surface mirrors reference train_ddp_spawn.py:40-135 (same short
+    # aliases), so README training commands work verbatim
     p = argparse.ArgumentParser(description="Hi3D-TPU trainer")
-    p.add_argument("--base", nargs="*", default=["configs/train-v01.yaml"],
+    p.add_argument("-b", "--base", nargs="*",
+                   default=["configs/train-v01.yaml"],
                    help="config yaml(s), merged left-to-right")
-    p.add_argument("--train", type=str2bool, default=True)
-    p.add_argument("--resume", type=str, default="",
+    p.add_argument("-t", "--train", type=str2bool, default=True)
+    p.add_argument("--no-test", "--no_test", dest="no_test", type=str2bool,
+                   default=False,
+                   help="skip the post-train eval-set media dump "
+                        "(reference trainer.test, train_ddp_spawn.py:448)")
+    p.add_argument("-r", "--resume", type=str, default="",
                    help="logdir or checkpoint dir to resume from")
-    p.add_argument("--logdir", type=str, default="logs")
-    p.add_argument("--name", type=str, default="")
-    p.add_argument("--seed", type=int, default=23)
+    p.add_argument("-l", "--logdir", type=str, default="logs")
+    p.add_argument("-n", "--name", type=str, default="")
+    p.add_argument("-f", "--postfix", type=str, default="",
+                   help="post-postfix for the run name")
+    p.add_argument("-s", "--seed", type=int, default=23)
+    p.add_argument("-d", "--debug", type=str2bool, default=False,
+                   help="post-mortem debugger on exception "
+                        "(reference train_ddp_spawn.py:450-457)")
     p.add_argument("--scale_lr", type=str2bool, default=True)
     p.add_argument("--max_steps", type=int, default=None)
-    p.add_argument("--projectname", type=str, default="hi3d_tpu")
+    p.add_argument("-p", "--project", "--projectname", dest="projectname",
+                   type=str, default="hi3d_tpu")
     p.add_argument("--logger", type=str, default="",
                    choices=["", "tensorboard", "testtube", "wandb", "jsonl"],
                    help="metrics backend (default: config `lightning.logger`"
                         " or tensorboard; jsonl = no event files)")
-    p.add_argument("--outckpt", type=str, default="",
+    p.add_argument("-o", "--outckpt", type=str, default="",
                    help="export the final weights as a reference-layout "
                         "safetensors (train_ddp_spawn.py:441-443 parity)")
     return p.parse_known_args(argv)
@@ -86,6 +99,17 @@ def main(argv=None) -> None:
     args, unknown = parse_args(argv)
     overrides = [u for u in unknown if "=" in u]
 
+    if args.debug:
+        # post-mortem on crash (reference train_ddp_spawn.py:450-457, pudb)
+        def _post_mortem(tp, value, tb):
+            import pdb
+            import traceback
+
+            traceback.print_exception(tp, value, tb)
+            pdb.post_mortem(tb)
+
+        sys.excepthook = _post_mortem
+
     cfg = load_config(args.base)
     if overrides:
         cfg = apply_dotlist(cfg, overrides)
@@ -97,7 +121,7 @@ def main(argv=None) -> None:
     else:
         now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
         name = args.name or os.path.splitext(os.path.basename(args.base[0]))[0]
-        logdir = os.path.join(args.logdir, f"{now}_{name}")
+        logdir = os.path.join(args.logdir, f"{now}_{name}{args.postfix}")
     os.makedirs(logdir, exist_ok=True)
 
     if jax.process_index() == 0:
@@ -169,6 +193,23 @@ def main(argv=None) -> None:
                             resume=bool(args.resume))
         model.params = state.params
         model.ema_params = state.ema_params
+
+    if not args.no_test and jax.process_index() == 0:
+        # post-train "test": media dump on the first eval batch (reference
+        # trainer.test after fit, train_ddp_spawn.py:448-449; the eval set is
+        # SyncDreamerEvalData, sgm/data/video_dataset.py:142-163)
+        from hi3d_tpu.training.trainer import ImageLogger
+
+        try:
+            val = data.val_dataloader()
+            batch = next(iter(val)) if val is not None else None
+        except Exception as e:
+            print(f"[train] no eval set for the test pass ({e})")
+            batch = None
+        if batch is not None:
+            ImageLogger(
+                os.path.join(logdir, "test"), every_n_steps=1
+            ).maybe_log(model, batch, step=0)
 
     if args.outckpt and jax.process_index() == 0:
         from hi3d_tpu.convert.jax_to_torch import (
