@@ -39,6 +39,18 @@ def _ln_matmul() -> bool:
     return os.environ.get("HI3D_LN", "") == "matmul"
 
 
+def _ln_pallas() -> bool:
+    """HI3D_LN=pallas computes LayerNorm statistics with a streaming Pallas
+    stats kernel (ops.group_norm.pallas_row_stats) — one HBM read of x — and
+    keeps the normalize/affine apply in jnp where XLA fuses it into the
+    neighbouring matmul. Motivated by the stage-2 profile: the LN
+    convert_reduce fusions cost ~11 ms each at the 16384-token sites, ~25×
+    off their streaming floor."""
+    import os
+
+    return os.environ.get("HI3D_LN", "") == "pallas"
+
+
 class LayerNorm32(nn.Module):
     """LayerNorm computed in fp32, cast back to input dtype (eps matches torch)."""
 
@@ -46,6 +58,20 @@ class LayerNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if _ln_pallas():
+            from ..ops.group_norm import pallas_row_stats, row_stats_supported
+
+            if row_stats_supported(x.shape):
+                from .layers import _NormParams
+
+                c = x.shape[-1]
+                scale, bias = _NormParams(c, name="norm")()
+                mean, inv = pallas_row_stats(x.reshape(-1, c), self.epsilon)
+                st_shape = x.shape[:-1] + (1,)
+                xf = x.astype(jnp.float32)
+                y = (xf - mean.reshape(st_shape)) * inv.reshape(st_shape)
+                y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+                return y.astype(x.dtype)
         if _ln_matmul():
             from .layers import _NormParams
 

@@ -84,8 +84,11 @@ class GroupNorm32(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         from ..ops.group_norm import (
             _group_stats,
+            _pallas_gn_opted_in,
             _pallas_opted_in,
             _twostage_opted_in,
+            group_stats_supported,
+            pallas_group_stats,
             supports_fused,
         )
 
@@ -98,7 +101,10 @@ class GroupNorm32(nn.Module):
                 x, scale, bias, num_groups=groups, eps=self.epsilon,
                 act=self.act,
             )
-        if _twostage_opted_in():
+        use_pallas_stats = _pallas_gn_opted_in() and group_stats_supported(
+            x.shape
+        )
+        if _twostage_opted_in() or use_pallas_stats:
             # pure-XLA two-stage stats: reduce over spatial dims first with
             # the channel dim lane-aligned, then the tiny per-group combine —
             # sidesteps XLA's grouped-reduce layout churn while keeping the
@@ -107,7 +113,12 @@ class GroupNorm32(nn.Module):
             n = x.shape[0]
             cpg = c // groups
             scale, bias = _NormParams(c, name="norm")()
-            gm, inv = _group_stats(x, groups, self.epsilon)  # (N, g) fp32
+            if use_pallas_stats:
+                # streaming Pallas stats kernel (HI3D_GN=pallas): one HBM
+                # read of x; apply below stays jnp/fusable
+                gm, inv = pallas_group_stats(x, groups, self.epsilon)
+            else:
+                gm, inv = _group_stats(x, groups, self.epsilon)  # (N, g) fp32
             mul = (
                 scale.astype(jnp.float32).reshape(1, groups, cpg)
                 * inv[:, :, None]

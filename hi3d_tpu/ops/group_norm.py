@@ -316,3 +316,202 @@ def _twostage_opted_in() -> bool:
     import os
 
     return os.environ.get("HI3D_GN", "twostage") == "twostage"
+
+
+# ---------------------------------------------------------------------------
+# Stats-only Pallas kernels (HI3D_GN=pallas, HI3D_LN=pallas)
+#
+# Round-2 stage-2 profile (tools/profile_step.py --stage2): XLA's norm-stat
+# convert_reduce fusions run 25-50× off HBM speed-of-light — 20 ms for a
+# [32,128,128,320] GroupNorm stat pass whose streaming floor is 0.4 ms, and
+# ~11 ms per LayerNorm stat fusion at the 16384-token transformer sites —
+# 539 ms of the 2.34 s step in total. The round-1 fused-GN A/B lost because
+# the Pallas kernel replaced the *apply* too, pulling the normalize out of
+# XLA's norm→conv/residual fusions (net −6%). These kernels replace only the
+# statistics: one streaming read of x at HBM rate, emitting per-group or
+# per-row (mean, inv_std); the apply stays jnp and fuses exactly as before.
+# Backward recomputes the stats VJP in XLA (remat-friendly, matches the
+# default path's gradients).
+#
+# MEASURED RESULT (v5e chip, tools/bench_stage2.py, steps/s): baseline
+# 0.4275; HI3D_GN=pallas 0.4045; HI3D_LN=pallas 0.3977; both 0.3879 — all
+# LOSE. Root cause, visible in the trace: the convert_reduce fusions are
+# multi-output — XLA folds the stat reduction into the *producer* fusion
+# that writes x to HBM anyway (the bf16[32,128,128,320] third output above
+# IS x), so the statistics are computed in-registers on the way out and are
+# effectively free of HBM traffic. Any standalone stats pass — Pallas or
+# otherwise — re-reads x once more and loses by exactly that pass. The
+# apparent 25-50× "overhead" in the profile is the producer's own cost
+# binned under the fusion's reduce name. Kept opt-in as the documented
+# negative result; the same reasoning closes the LN=matmul route (which
+# additionally materialized x² in fp32).
+# ---------------------------------------------------------------------------
+
+
+def _stats_interpret() -> bool:
+    import os
+
+    return (
+        os.environ.get("HI3D_PALLAS_INTERPRET", "") == "1"
+        or jax.default_backend() != "tpu"
+    )
+
+
+def _gstats_kernel(x_ref, mean_ref, inv_ref, acc_ref, *, groups: int,
+                   eps: float):
+    ci = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(ci == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xf = x_ref[0].astype(jnp.float32)  # (CH, C)
+    acc_ref[0, :] += jnp.sum(xf, axis=0)
+    acc_ref[1, :] += jnp.sum(xf * xf, axis=0)
+
+    @pl.when(ci == nc - 1)
+    def _():
+        c = acc_ref.shape[1]
+        cpg = c // groups
+        total = nc * x_ref.shape[1] * cpg
+        # channel→group combine as one-hot matmuls (no lane-dim reshapes)
+        ch_of = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cpg
+        g_of = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+        gather = (ch_of == g_of).astype(jnp.float32)  # (c, g)
+        sums = jnp.dot(
+            acc_ref[...], gather, preferred_element_type=jnp.float32
+        )  # (2, g)
+        mean = sums[0:1, :] / total
+        var = jnp.maximum(sums[1:2, :] / total - mean * mean, 0.0)
+        mean_ref[0, 0] = mean[0]
+        inv_ref[0, 0] = jax.lax.rsqrt(var + eps)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps"))
+def _pallas_group_stats_impl(x, groups, eps):
+    n, c = x.shape[0], x.shape[-1]
+    s = math.prod(x.shape[1:-1])
+    x3 = x.reshape(n, s, c)
+    ch = _chunk_rows(s, c)
+    nchunks = s // ch
+    mean, inv = pl.pallas_call(
+        functools.partial(_gstats_kernel, groups=groups, eps=eps),
+        grid=(n, nchunks),
+        in_specs=[
+            pl.BlockSpec((1, ch, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, groups), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, groups), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1, groups), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, groups), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        interpret=_stats_interpret(),
+    )(x3)
+    return mean.reshape(n, groups), inv.reshape(n, groups)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def pallas_group_stats(x, groups, eps):
+    """fp32 per-group (mean, inv_std) of (N, ..., C) via a streaming Pallas
+    stats kernel — numerics match `_group_stats` (one-pass, clamped)."""
+    return _pallas_group_stats_impl(x, groups, eps)
+
+
+def _pallas_group_stats_fwd(x, groups, eps):
+    return _pallas_group_stats_impl(x, groups, eps), x
+
+
+def _pallas_group_stats_bwd(groups, eps, x, g):
+    _, vjp = jax.vjp(lambda t: _group_stats(t, groups, eps), x)
+    return vjp(g)
+
+
+pallas_group_stats.defvjp(_pallas_group_stats_fwd, _pallas_group_stats_bwd)
+
+
+def group_stats_supported(shape) -> bool:
+    s = math.prod(shape[1:-1])
+    return s % 16 == 0 and s >= 16
+
+
+def _pallas_gn_opted_in() -> bool:
+    import os
+
+    return os.environ.get("HI3D_GN", "twostage") == "pallas"
+
+
+def _rowstats_kernel(x_ref, mean_ref, inv_ref, *, eps: float):
+    xf = x_ref[...].astype(jnp.float32)  # (R, C)
+    c = xf.shape[-1]
+    m = jnp.sum(xf, axis=-1, keepdims=True) / c
+    v = jnp.sum(xf * xf, axis=-1, keepdims=True) / c - m * m
+    mean_ref[...] = m
+    inv_ref[...] = jax.lax.rsqrt(jnp.maximum(v, 0.0) + eps)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _pallas_row_stats_impl(x2d, eps):
+    m, c = x2d.shape
+    ch = _chunk_rows(m, c)
+    nchunks = m // ch
+    mean, inv = pl.pallas_call(
+        functools.partial(_rowstats_kernel, eps=eps),
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((ch, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ch, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ch, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        ],
+        interpret=_stats_interpret(),
+    )(x2d)
+    return mean, inv
+
+
+def _row_stats_ref(x2d, eps):
+    """jnp reference for the VJP (one-pass fast variance, clamped)."""
+    xf = x2d.astype(jnp.float32)
+    c = xf.shape[-1]
+    m = jnp.sum(xf, axis=-1, keepdims=True) / c
+    v = jnp.sum(xf * xf, axis=-1, keepdims=True) / c - m * m
+    return m, jax.lax.rsqrt(jnp.maximum(v, 0.0) + eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def pallas_row_stats(x2d, eps):
+    """fp32 per-row (mean, inv_std) over the last dim of (M, C) — the
+    LayerNorm statistics — via a streaming Pallas kernel."""
+    return _pallas_row_stats_impl(x2d, eps)
+
+
+def _pallas_row_stats_fwd(x2d, eps):
+    return _pallas_row_stats_impl(x2d, eps), x2d
+
+
+def _pallas_row_stats_bwd(eps, x2d, g):
+    _, vjp = jax.vjp(lambda t: _row_stats_ref(t, eps), x2d)
+    return vjp(g)
+
+
+pallas_row_stats.defvjp(_pallas_row_stats_fwd, _pallas_row_stats_bwd)
+
+
+def row_stats_supported(shape) -> bool:
+    m = math.prod(shape[:-1])
+    return m % 16 == 0 and m >= 16

@@ -20,6 +20,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent XLA compile cache: the suite's fixture engines (UNet/VAE/CLIP
+# towers) dominate wall time via jit compiles; caching them keeps the
+# `-m "not slow"` subset under the 2-minute CI budget on warm runs
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "HI3D_XLA_CACHE_CPU", os.path.expanduser("~/.cache/hi3d_xla_cpu")
+    ),
+)
+# the suite's wall time is spread over hundreds of sub-second compiles —
+# cache aggressively (entries are a few KB each on CPU)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 
 def pytest_configure(config):

@@ -110,3 +110,101 @@ def test_group_norm32_module_param_layout_unchanged():
     want = _flax_gn(x, jnp.ones((64,)), jnp.zeros((64,)), 32, act="silu")
     np.testing.assert_allclose(np.asarray(y), np.asarray(want), rtol=2e-5,
                                atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Stats-only Pallas kernels (HI3D_GN=pallas / HI3D_LN=pallas) — interpret
+# mode on CPU; the apply stays jnp so only the stats need checking.
+# ---------------------------------------------------------------------------
+
+from hi3d_tpu.ops.group_norm import (  # noqa: E402
+    _group_stats,
+    _row_stats_ref,
+    pallas_group_stats,
+    pallas_row_stats,
+)
+
+
+@pytest.mark.parametrize("shape,groups", [
+    ((2, 16, 64), 32),
+    ((3, 4, 8, 320), 32),       # non-128-aligned channels, 4-D
+])
+def test_pallas_group_stats_matches_reference(shape, groups):
+    x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.bfloat16) * 3 + 1
+    gm, gi = pallas_group_stats(x, groups, 1e-5)
+    rm, ri = _group_stats(x, groups, 1e-5)
+    np.testing.assert_allclose(gm, rm, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(gi, ri, rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_group_stats_gradients_match_reference():
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 64))
+
+    def loss_pallas(t):
+        m, i = pallas_group_stats(t, 16, 1e-5)
+        return jnp.sum(m * 2.0 + i)
+
+    def loss_ref(t):
+        m, i = _group_stats(t, 16, 1e-5)
+        return jnp.sum(m * 2.0 + i)
+
+    gp = jax.grad(loss_pallas)(x)
+    gr = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(gp, gr, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("shape", [(16, 64), (32, 320)])
+def test_pallas_row_stats_matches_reference(shape):
+    x = jax.random.normal(jax.random.PRNGKey(2), shape, jnp.bfloat16) * 2 - 1
+    gm, gi = pallas_row_stats(x, 1e-5)
+    rm, ri = _row_stats_ref(x, 1e-5)
+    np.testing.assert_allclose(gm, rm, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(gi, ri, rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_row_stats_gradients_match_reference():
+    x = jax.random.normal(jax.random.PRNGKey(3), (16, 48))
+
+    def loss_pallas(t):
+        m, i = pallas_row_stats(t, 1e-5)
+        return jnp.sum(m - 3.0 * i)
+
+    def loss_ref(t):
+        m, i = _row_stats_ref(t, 1e-5)
+        return jnp.sum(m - 3.0 * i)
+
+    np.testing.assert_allclose(
+        jax.grad(loss_pallas)(x), jax.grad(loss_ref)(x), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_groupnorm32_pallas_stats_matches_default(monkeypatch):
+    from hi3d_tpu.models.layers import GroupNorm32
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 64), jnp.bfloat16)
+    mod = GroupNorm32(act="silu")
+    params = mod.init(jax.random.PRNGKey(5), x)
+    monkeypatch.setenv("HI3D_GN", "twostage")
+    want = mod.apply(params, x)
+    monkeypatch.setenv("HI3D_GN", "pallas")
+    got = mod.apply(params, x)
+    np.testing.assert_allclose(
+        got.astype(jnp.float32), want.astype(jnp.float32), rtol=2e-2,
+        atol=2e-2,
+    )
+
+
+def test_layernorm32_pallas_stats_matches_default(monkeypatch):
+    from hi3d_tpu.models.attention import LayerNorm32
+
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 16, 64), jnp.bfloat16)
+    mod = LayerNorm32()
+    monkeypatch.delenv("HI3D_LN", raising=False)
+    params = mod.init(jax.random.PRNGKey(7), x)
+    want = mod.apply(params, x)
+    monkeypatch.setenv("HI3D_LN", "pallas")
+    got = mod.apply(params, x)
+    np.testing.assert_allclose(
+        got.astype(jnp.float32), want.astype(jnp.float32), rtol=2e-2,
+        atol=2e-2,
+    )

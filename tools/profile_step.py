@@ -102,6 +102,9 @@ def summarize(trace_dir: str, top: int = 30) -> None:
 
 
 if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace-dir", default="/tmp/hi3d_trace")
     ap.add_argument("--summarize-only", action="store_true")
