@@ -49,6 +49,26 @@ DEFAULT_GUIDER = {"target": "sgm.modules.diffusionmodules.guiders.IdentityGuider
 _SIGMA_EPS = 1e-20
 
 
+def _flag_segments(flags, chunk=None):
+    """Split [0, len(flags)) into (start, end, flag) runs of constant flag,
+    each run further chunked to at most `chunk` steps (guidance-interval +
+    steps_per_launch composition; flags are host-static)."""
+    n = len(flags)
+    runs = []
+    s0 = 0
+    for i in range(1, n + 1):
+        if i == n or bool(flags[i]) != bool(flags[s0]):
+            runs.append((s0, i, bool(flags[s0])))
+            s0 = i
+    if not chunk:
+        return runs
+    out = []
+    for a, b, f in runs:
+        for s in range(a, b, chunk):
+            out.append((s, min(s + chunk, b), f))
+    return out
+
+
 def to_d(x: jax.Array, sigma: jax.Array, denoised: jax.Array) -> jax.Array:
     """ODE derivative dx/dσ = (x − D(x,σ)) / σ."""
     return (x - denoised) / append_dims(sigma, x.ndim)
@@ -95,7 +115,11 @@ class BaseDiffusionSampler:
         s_in = jnp.ones((x.shape[0],), dtype=jnp.float32)
         return x, s_in, sigmas, num_sigmas, cond, uc
 
-    def denoise(self, x, denoiser, sigma, cond, uc):
+    def denoise(self, x, denoiser, sigma, cond, uc, use_cfg: bool = True):
+        if not use_cfg:
+            # guidance-interval turbo: single conditioned pass, no batch
+            # doubling, guider bypassed (≡ CFG scale 1.0 at this step)
+            return denoiser(x, sigma, cond)
         x_in, sigma_in, cond_in = self.guider.prepare_inputs(x, sigma, cond, uc)
         denoised = denoiser(x_in, sigma_in, cond_in)
         return self.guider(denoised, sigma)
@@ -129,7 +153,8 @@ class EDMSampler(SingleStepDiffusionSampler):
 
     # -- per-step ---------------------------------------------------------
     def sampler_step(
-        self, sigma, next_sigma, denoiser, x, cond, uc=None, gamma=0.0, rng=None
+        self, sigma, next_sigma, denoiser, x, cond, uc=None, gamma=0.0,
+        rng=None, use_cfg: bool = True,
     ):
         sigma_hat = sigma * (gamma + 1.0)
         if self.s_churn > 0.0:
@@ -142,13 +167,13 @@ class EDMSampler(SingleStepDiffusionSampler):
                 jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma**2, 0.0)), x.ndim
             ).astype(x.dtype)
 
-        denoised = self.denoise(x, denoiser, sigma_hat, cond, uc)
+        denoised = self.denoise(x, denoiser, sigma_hat, cond, uc, use_cfg)
         d = to_d(x, sigma_hat, denoised)
         dt = append_dims(next_sigma - sigma_hat, x.ndim)
 
         euler_step = self.euler_step(x, d.astype(x.dtype), dt.astype(x.dtype))
         return self.possible_correction_step(
-            euler_step, x, d, dt, next_sigma, denoiser, cond, uc
+            euler_step, x, d, dt, next_sigma, denoiser, cond, uc, use_cfg
         )
 
     def _gamma_at(self, sigmas: jax.Array, i, num_sigmas: int) -> jax.Array:
@@ -160,12 +185,15 @@ class EDMSampler(SingleStepDiffusionSampler):
         return jnp.where(in_range, jnp.float32(gamma_val), jnp.float32(0.0))
 
     def step_call(
-        self, denoiser, x, i, s_in, sigmas, num_sigmas, cond, uc, rng=None
+        self, denoiser, x, i, s_in, sigmas, num_sigmas, cond, uc, rng=None,
+        use_cfg: bool = True,
     ):
         """One externally-driven step with traced index `i`.
 
         Matches reference sampling.py:109-124; used by the stage-2
-        latent-blending loop which mutates x between steps.
+        latent-blending loop which mutates x between steps. `use_cfg` must
+        be static (it selects the denoise batch shape); the stage-2 loop
+        derives it host-side from the σ schedule (guidance interval).
         """
         gamma = self._gamma_at(sigmas, i, num_sigmas)
         return self.sampler_step(
@@ -177,12 +205,13 @@ class EDMSampler(SingleStepDiffusionSampler):
             uc,
             gamma,
             rng=rng,
+            use_cfg=use_cfg,
         )
 
     # -- full loop ---------------------------------------------------------
     def __call__(
         self, denoiser, x, cond, uc=None, num_steps=None, rng=None, extras=None,
-        encoder_reuse=0,
+        encoder_reuse=0, cfg_interval=None,
     ):
         """Full sampling loop.
 
@@ -201,6 +230,17 @@ class EDMSampler(SingleStepDiffusionSampler):
         cache)`` (engine.make_denoiser_fn_cached). k=1 computes the encoder
         every step (identical math to the exact path); k ≥ 2 is an
         APPROXIMATION that slightly changes outputs.
+
+        `cfg_interval=(lo, hi)` enables the guidance-interval turbo
+        (Kynkäänniemi et al. 2024, arXiv 2404.07724): CFG runs only on steps
+        whose σ_i lies in [lo, hi]; outside the interval the denoiser runs a
+        SINGLE conditioned pass (half the UNet work, ≡ CFG scale 1.0 there).
+        The flags are host-static (the σ schedule is known), so the scan is
+        split into constant-flag segments — no dynamic shapes. An interval
+        covering the whole schedule is bit-identical to the exact path;
+        anything narrower is an APPROXIMATION. Mutually exclusive with
+        `encoder_reuse` (the encoder cache's batch dim differs between
+        CFG-doubled and single-pass steps).
         """
         x, s_in, sigmas, num_sigmas, cond, uc = self.prepare_sampling_loop(
             x, cond, uc, num_steps
@@ -227,6 +267,49 @@ class EDMSampler(SingleStepDiffusionSampler):
         step_rngs = jax.random.split(rng, n)
         xs = (sigmas[:-1], sigmas[1:], jnp.asarray(gammas), step_rngs)
         chunk = self.steps_per_launch
+
+        if cfg_interval is not None:
+            if encoder_reuse:
+                raise ValueError(
+                    "cfg_interval and encoder_reuse are mutually exclusive "
+                    "(the encoder cache's batch dim differs between "
+                    "CFG-doubled and single-pass steps)"
+                )
+            lo, hi = cfg_interval
+            cfg_on = (sig_np[:-1] >= lo) & (sig_np[:-1] <= hi)
+        else:
+            cfg_on = np.ones(n, bool)
+
+        if not cfg_on.all():
+            segs = _flag_segments(cfg_on, chunk)
+            if extras is not None:
+                for s0, s1, f in segs:
+                    runner = self._threaded_runner(denoiser, use_cfg=f)
+                    seg = jax.tree.map(lambda v: v[s0:s1], xs)
+                    x = runner(extras, x, seg, s_in, cond, uc)
+                return x
+            run_cache = {}
+
+            def run_segment_f(x, seg, flag):
+                if flag not in run_cache:
+
+                    def body(carry, inp, _f=flag):
+                        sigma, next_sigma, gamma, srng = inp
+                        out = self.sampler_step(
+                            s_in * sigma, s_in * next_sigma, denoiser, carry,
+                            cond, uc, gamma, rng=srng, use_cfg=_f,
+                        )
+                        return out, None
+
+                    run_cache[flag] = jax.jit(
+                        lambda x, seg, _b=body: lax.scan(_b, x, seg)[0]
+                    )
+                return run_cache[flag](x, seg)
+
+            for s0, s1, f in segs:
+                seg = jax.tree.map(lambda v: v[s0:s1], xs)
+                x = run_segment_f(x, seg, f)
+            return x
 
         if encoder_reuse:
             if extras is None:
@@ -299,12 +382,12 @@ class EDMSampler(SingleStepDiffusionSampler):
             x = run_segment(x, seg)
         return x
 
-    def _threaded_runner(self, dfn):
+    def _threaded_runner(self, dfn, use_cfg: bool = True):
         """Cached jitted scan-segment runner for a param-threaded denoiser.
 
         Keyed by the denoiser function object (engine caches those per frame
-        count), so repeated sample() calls reuse ONE compiled executable per
-        segment shape instead of recompiling."""
+        count) and the static CFG flag, so repeated sample() calls reuse ONE
+        compiled executable per segment shape instead of recompiling."""
         from ..utils.misc import instance_cache
 
         def make():
@@ -316,7 +399,7 @@ class EDMSampler(SingleStepDiffusionSampler):
                     sigma, next_sigma, gamma, srng = inp
                     out = self.sampler_step(
                         s_in * sigma, s_in * next_sigma, den, carry, cond, uc,
-                        gamma, rng=srng,
+                        gamma, rng=srng, use_cfg=use_cfg,
                     )
                     return out, None
 
@@ -325,7 +408,7 @@ class EDMSampler(SingleStepDiffusionSampler):
 
             return jax.jit(run)
 
-        return instance_cache(self, ("runner", dfn), make)
+        return instance_cache(self, ("runner", dfn, use_cfg), make)
 
     def _threaded_runner_cached(self, dfn):
         """Scan-segment runner for the encoder-propagation (turbo) path.
@@ -379,19 +462,22 @@ class EDMSampler(SingleStepDiffusionSampler):
 
 class EulerEDMSampler(EDMSampler):
     def possible_correction_step(
-        self, euler_step, x, d, dt, next_sigma, denoiser, cond, uc
+        self, euler_step, x, d, dt, next_sigma, denoiser, cond, uc,
+        use_cfg: bool = True,
     ):
         return euler_step
 
 
 class HeunEDMSampler(EDMSampler):
     def possible_correction_step(
-        self, euler_step, x, d, dt, next_sigma, denoiser, cond, uc
+        self, euler_step, x, d, dt, next_sigma, denoiser, cond, uc,
+        use_cfg: bool = True,
     ):
         # the final step has next_sigma == 0 where the correction is skipped;
         # clamp σ for the (discarded) denoise so c_noise = 0.25·logσ stays finite
         safe_next = jnp.maximum(next_sigma, _SIGMA_EPS)
-        denoised = self.denoise(euler_step, denoiser, safe_next, cond, uc)
+        denoised = self.denoise(euler_step, denoiser, safe_next, cond, uc,
+                                use_cfg)
         d_new = to_d(euler_step, safe_next, denoised)
         d_prime = (d + d_new) / 2.0
         corrected = x + (d_prime * dt).astype(x.dtype)

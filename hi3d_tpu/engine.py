@@ -45,6 +45,23 @@ DEFAULT_WRAPPER = {
 }
 
 
+def _fit_indicator(indicator, x, num_video_frames: int):
+    """Match a (possibly CFG-doubled) image_only_indicator to x's batch.
+
+    Samplers hand the param-threaded denoiser a pre-doubled indicator
+    (2b, t) because the guider concatenates [uc, c] (reference
+    guiders.py:91-99). On single-pass steps (cfg_interval turbo — CFG
+    skipped outside the σ interval) x arrives un-doubled, so take the
+    conditioned half. Shapes are static under trace, so this is free.
+    """
+    if indicator is None:
+        return None
+    b = x.shape[0] // num_video_frames
+    if indicator.shape[0] == 2 * b:
+        return indicator[b:]
+    return indicator
+
+
 @functools.lru_cache(maxsize=32)
 def _sampler_signature(cls):
     import inspect
@@ -285,7 +302,7 @@ class DiffusionEngine:
                 network = self.wrapper.bind(
                     params,
                     num_video_frames=key,
-                    image_only_indicator=indicator,
+                    image_only_indicator=_fit_indicator(indicator, x, key),
                 )
                 return self.denoiser(network, x, sigma, cond)
 
@@ -316,7 +333,7 @@ class DiffusionEngine:
                     bound = self.wrapper.bind(
                         params,
                         num_video_frames=key,
-                        image_only_indicator=indicator,
+                        image_only_indicator=_fit_indicator(indicator, xx, key),
                         **(
                             {"return_encoder_cache": True}
                             if cache is None
@@ -369,6 +386,7 @@ class DiffusionEngine:
         params=None,
         randn: Optional[jax.Array] = None,
         encoder_reuse: int = 0,
+        cfg_interval: Optional[Tuple[float, float]] = None,
     ) -> jax.Array:
         """Draw latents: full CFG sampling loop, jitted end to end.
 
@@ -380,6 +398,12 @@ class DiffusionEngine:
         Diffusion, arXiv 2312.09608; see samplers.EDMSampler.__call__):
         the UNet encoder runs only every k-th step — an APPROXIMATION;
         0 keeps exact reference semantics. EDM-family samplers only.
+
+        `cfg_interval=(lo, hi)` enables the guidance-interval turbo
+        (arXiv 2404.07724): CFG batch doubling only on steps with
+        σ ∈ [lo, hi], a single conditioned pass elsewhere. An interval
+        covering the full schedule is bit-identical to the exact path.
+        EDM-family samplers only; mutually exclusive with encoder_reuse.
         """
         rng = default(rng, self.next_rng())
         r_init, r_steps = jax.random.split(rng)
@@ -395,6 +419,10 @@ class DiffusionEngine:
         randn = randn.astype(self.compute_dtype)
         use_params = default(params, self.params)
         sampler_params = _sampler_call_params(self.sampler)
+        if encoder_reuse and cfg_interval is not None:
+            raise ValueError(
+                "cfg_interval and encoder_reuse are mutually exclusive"
+            )
         if encoder_reuse:
             if "encoder_reuse" not in sampler_params:
                 raise ValueError(
@@ -407,11 +435,21 @@ class DiffusionEngine:
                 extras=(use_params, image_only_indicator),
                 encoder_reuse=int(encoder_reuse),
             )
+        if cfg_interval is not None and "cfg_interval" not in sampler_params:
+            raise ValueError(
+                f"sampler {type(self.sampler).__name__} does not support "
+                "cfg_interval (EDM Euler/Heun family only)"
+            )
         if "extras" in sampler_params:
             dfn = self.make_denoiser_fn_p(t)
+            kw = (
+                {"cfg_interval": tuple(cfg_interval)}
+                if cfg_interval is not None
+                else {}
+            )
             return self.sampler(
                 dfn, randn, cond, uc=uc, rng=r_steps,
-                extras=(use_params, image_only_indicator),
+                extras=(use_params, image_only_indicator), **kw,
             )
         denoiser_fn = self.make_denoiser_fn(
             params, num_video_frames=t, image_only_indicator=image_only_indicator

@@ -124,6 +124,7 @@ def run_two_stage(
     scorer: Optional[ViewScorer] = None,
     score_views: bool = True,
     encoder_reuse: int = 0,  # turbo for BOTH stages (approximate; 0 = exact)
+    cfg_interval=None,  # (lo, hi): CFG only where σ ∈ [lo, hi], both stages
 ) -> Dict:
     """Chain stage 1 → stage 2 → scoring. Returns paths + metrics.
 
@@ -145,6 +146,7 @@ def run_two_stage(
         fps=fps,
         skip_rembg=skip_rembg,
         encoder_reuse=encoder_reuse,
+        cfg_interval=cfg_interval,
     )
     if owns1:
         m1 = None  # free stage-1 weights/towers before stage 2 loads
@@ -170,6 +172,7 @@ def run_two_stage(
         seed=seed,
         fps=fps,
         encoder_reuse=encoder_reuse,
+        cfg_interval=cfg_interval,
     )
     if owns2:
         m2 = None
@@ -221,6 +224,12 @@ def main(argv: Optional[List[str]] = None) -> None:
                    help="turbo for both stages: run the UNet encoder only "
                         "every k-th sampler step (Faster Diffusion; "
                         "APPROXIMATE; 0 = exact reference semantics)")
+    p.add_argument("--cfg_interval", type=float, nargs=2, default=None,
+                   metavar=("LO", "HI"),
+                   help="turbo for both stages: apply CFG only on steps "
+                        "with σ in [LO, HI] (guidance interval, arXiv "
+                        "2404.07724; APPROXIMATE unless it covers the whole "
+                        "σ schedule)")
     args = p.parse_args(argv)
 
     def _load(config_path, ckpt_path, res):
@@ -249,6 +258,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             skip_rembg=args.skip_rembg,
             score_views=not args.no_metrics,
             encoder_reuse=args.encoder_reuse,
+            cfg_interval=args.cfg_interval,
         )
     finally:
         if args.profile_dir:

@@ -56,6 +56,7 @@ def generate_orbit(
     randn: Optional[jax.Array] = None,  # (T, h/8, w/8, 4) unit noise
     batch_overrides: Optional[Dict] = None,  # applied after add_custom_cond
     encoder_reuse: int = 0,  # turbo: UNet encoder every k-th step (approx.)
+    cfg_interval=None,  # (lo, hi): CFG only where σ ∈ [lo, hi] (turbo)
 ) -> np.ndarray:
     """frames (T, H, W, 3) in [-1,1] → generated orbit (T, H, W, 3) in [-1,1].
 
@@ -97,6 +98,7 @@ def generate_orbit(
         rng=r_sample,
         randn=randn,
         encoder_reuse=encoder_reuse,
+        cfg_interval=cfg_interval,
     )
     timer.mark("sampler_steps", samples)
     decoded = model.decode_first_stage(samples)  # (T, H, W, 3) fp32
@@ -119,6 +121,7 @@ def run_pipeline(
     fps: int = 8,
     skip_rembg: bool = False,
     encoder_reuse: int = 0,
+    cfg_interval=None,
 ) -> str:
     """Full stage-1 CLI behavior; returns the mp4 path."""
     if seed is not None:
@@ -139,7 +142,8 @@ def run_pipeline(
     out_frames: List[np.ndarray] = []
     for _ in range(num_iter):
         video = generate_orbit(model, frames, elevation=elevation,
-                               encoder_reuse=encoder_reuse)
+                               encoder_reuse=encoder_reuse,
+                               cfg_interval=cfg_interval)
         new = tensor2vid(video)
         # consecutive orbits share the boundary frame (reference :108-112)
         out_frames.extend(new if not out_frames else new[1:])
@@ -172,6 +176,12 @@ def main(argv: Optional[List[str]] = None) -> None:
                         "step, decode the rest from cached features (Faster "
                         "Diffusion; APPROXIMATE — slightly changes outputs; "
                         "0 = exact reference semantics)")
+    p.add_argument("--cfg_interval", type=float, nargs=2, default=None,
+                   metavar=("LO", "HI"),
+                   help="turbo: apply CFG only on steps with σ in [LO, HI]; "
+                        "a single conditioned UNet pass elsewhere (guidance "
+                        "interval, arXiv 2404.07724; APPROXIMATE unless the "
+                        "interval covers the whole σ schedule)")
     args = p.parse_args(argv)
 
     from .common import load_inference_model
@@ -198,6 +208,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             seed=args.seed,
             skip_rembg=args.skip_rembg,
             encoder_reuse=args.encoder_reuse,
+            cfg_interval=args.cfg_interval,
         )
     finally:
         if args.profile_dir:

@@ -55,6 +55,7 @@ class OrbitServer:
         elevations: Optional[Sequence[float]] = None,
         rng: Optional[jax.Array] = None,
         encoder_reuse: int = 0,  # turbo (approximate; 0 = exact)
+        cfg_interval=None,  # (lo, hi): CFG only where σ ∈ [lo, hi] (turbo)
     ) -> np.ndarray:
         """→ (B, T, H, W, 3) in [-1, 1]; B must divide by the mesh data size."""
         model = self.model
@@ -90,6 +91,7 @@ class OrbitServer:
             num_video_frames=t,
             rng=r_sample,
             encoder_reuse=encoder_reuse,
+            cfg_interval=cfg_interval,
         )
         decoded = model.decode_first_stage(samples)
         out = np.asarray(
@@ -119,6 +121,7 @@ class RefineServer:
         rng: Optional[jax.Array] = None,
         steps_per_launch: Optional[int] = 8,
         encoder_reuse: int = 0,  # turbo (approximate; 0 = exact)
+        cfg_interval=None,  # (lo, hi): CFG only where σ ∈ [lo, hi] (turbo)
     ) -> np.ndarray:
         from .v2v import blend_refine_batch
 
@@ -138,6 +141,7 @@ class RefineServer:
             steps_per_launch=steps_per_launch,
             shard=_mesh_put(self.mesh),
             encoder_reuse=encoder_reuse,
+            cfg_interval=cfg_interval,
         )
 
 
@@ -211,19 +215,23 @@ class TwoStageServer:
         rng: Optional[jax.Array] = None,
         stage2_hw: Optional[Sequence[int]] = None,
         encoder_reuse: int = 0,
+        cfg_interval=None,
     ) -> np.ndarray:
         """→ refined (B, T, H2, W2, 3) in [-1, 1]."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
         r1, r2 = jax.random.split(rng)
         videos = self.orbit.generate(images, elevations=elevations, rng=r1,
-                                     encoder_reuse=encoder_reuse)
+                                     encoder_reuse=encoder_reuse,
+                                     cfg_interval=cfg_interval)
         videos = self._to_stage2_res(videos, stage2_hw)
         return self.refine.refine(videos, elevations=elevations, rng=r2,
-                                  encoder_reuse=encoder_reuse)
+                                  encoder_reuse=encoder_reuse,
+                                  cfg_interval=cfg_interval)
 
     def generate_stream(self, batches, elevations=None, rng=None,
-                        stage2_hw=None, encoder_reuse: int = 0):
+                        stage2_hw=None, encoder_reuse: int = 0,
+                        cfg_interval=None):
         """Pipelined generator over an iterable of image batches: stage-1 of
         batch N+1 runs while stage-2 of batch N drains its submesh. A
         consumer-side failure cancels the producer cleanly (no thread left
@@ -278,7 +286,8 @@ class TwoStageServer:
                     elev = _elev(len(images))
                     if not _put((self.orbit.generate(
                             images, elevations=elev, rng=r1,
-                            encoder_reuse=encoder_reuse), i, elev)):
+                            encoder_reuse=encoder_reuse,
+                            cfg_interval=cfg_interval), i, elev)):
                         return
             except Exception as e:  # surfaced by the consumer loop
                 err.append(e)
@@ -298,6 +307,7 @@ class TwoStageServer:
                 yield self.refine.refine(
                     videos, elevations=elev, rng=r2,
                     encoder_reuse=encoder_reuse,
+                    cfg_interval=cfg_interval,
                 )
         finally:
             stop.set()
@@ -376,6 +386,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--encoder_reuse", type=int, default=0,
                    help="turbo: UNet encoder every k-th sampler step "
                         "(APPROXIMATE; 0 = exact)")
+    p.add_argument("--cfg_interval", type=float, nargs=2, default=None,
+                   metavar=("LO", "HI"),
+                   help="turbo: CFG only on steps with σ in [LO, HI] "
+                        "(guidance interval, arXiv 2404.07724; APPROXIMATE "
+                        "unless it covers the whole σ schedule)")
     args = p.parse_args(argv)
 
     paths = sorted(
@@ -435,6 +450,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                 chunk, elevations=[args.elevation] * len(chunk),
                 rng=jax.random.fold_in(rng, i),
                 encoder_reuse=args.encoder_reuse,
+                cfg_interval=args.cfg_interval,
             )
             _export(videos, done)
             done += len(chunk)
@@ -454,6 +470,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             batches, elevations=args.elevation, rng=rng,
             stage2_hw=tuple(args.stage2_resolution),
             encoder_reuse=args.encoder_reuse,
+            cfg_interval=args.cfg_interval,
         ):
             _export(videos, done)
             done += len(videos)

@@ -54,6 +54,7 @@ def blend_refine(
     rng: Optional[jax.Array] = None,
     steps_per_launch: Optional[int] = 8,
     encoder_reuse: int = 0,
+    cfg_interval=None,
 ) -> np.ndarray:
     """frames (T, H, W, 3) in [-1,1] → refined (T, H, W, 3) in [-1,1]."""
     t = model.num_samples
@@ -66,6 +67,7 @@ def blend_refine(
         rng=rng,
         steps_per_launch=steps_per_launch,
         encoder_reuse=encoder_reuse,
+        cfg_interval=cfg_interval,
     )
     return out[0]
 
@@ -81,6 +83,7 @@ def blend_refine_batch(
     init_noise: Optional[jax.Array] = None,  # (B·T, h/8, w/8, 4) unit noise
     batch_overrides: Optional[Dict] = None,  # applied after add_custom_cond
     encoder_reuse: int = 0,
+    cfg_interval=None,  # (lo, hi): CFG only where σ ∈ [lo, hi] (turbo)
 ) -> np.ndarray:
     """Batched stage-2 latent-blending refinement: B assets at once.
 
@@ -156,6 +159,23 @@ def blend_refine_batch(
     chunk = _largest_divisor_at_most(n, steps_per_launch or n)
     idx = jnp.arange(n)
 
+    # guidance-interval turbo (arXiv 2404.07724): CFG only where σ ∈ [lo, hi],
+    # single conditioned pass elsewhere. Flags are host-static (σ schedule is
+    # known), so the step loop splits into constant-flag segments.
+    if cfg_interval is not None:
+        if encoder_reuse:
+            raise ValueError(
+                "cfg_interval and encoder_reuse are mutually exclusive"
+            )
+        lo, hi = cfg_interval
+        sig_np = np.asarray(sigmas)
+        cfg_on = (sig_np[:-1] >= lo) & (sig_np[:-1] <= hi)
+    else:
+        cfg_on = np.ones(n, bool)
+    from ..diffusion.samplers import _flag_segments
+
+    segs = _flag_segments(cfg_on, chunk)
+
     # the jitted segment runner is cached on the engine per shape key —
     # re-jitting a fresh closure every call cost ~25 s of retracing per
     # asset in serving
@@ -170,7 +190,7 @@ def blend_refine_batch(
         dfnc = model.make_denoiser_fn_cached(t)
         reuse_mask = reuse_flags(n, encoder_reuse)
 
-    def make():
+    def make(use_cfg: bool = True):
 
         def run_segment(params, lat, seg_idx, z, init_noise, c, uc):
             den = lambda xx, ss, cc: dfn((params, indicator), xx, ss, cc)
@@ -181,7 +201,8 @@ def blend_refine_batch(
                 source = init_noise * sigmas[i] + z
                 lat = lat * (1.0 - alpha) + source * alpha
                 lat = sampler.step_call(
-                    den, lat.astype(dtype), i, s_in, sigmas, num_sigmas, c, uc
+                    den, lat.astype(dtype), i, s_in, sigmas, num_sigmas, c,
+                    uc, use_cfg=use_cfg,
                 ).astype(jnp.float32)
                 return lat, None
 
@@ -227,7 +248,12 @@ def blend_refine_batch(
 
         return jax.jit(run_segment_turbo if encoder_reuse else run_segment)
 
-    run = instance_cache(model, key, make)
+    def runner_for(use_cfg: bool):
+        return instance_cache(
+            model, key + (use_cfg,), lambda: make(use_cfg)
+        )
+
+    run = runner_for(True)
     timer.mark("setup")
     if encoder_reuse:
 
@@ -254,10 +280,9 @@ def blend_refine_batch(
             )
         del cache
     else:
-        for s0 in range(0, n, chunk):
-            latents = run(
-                use_params, latents, idx[s0 : s0 + chunk], z, init_noise, c,
-                uc,
+        for s0, s1, f in segs:
+            latents = runner_for(f)(
+                use_params, latents, idx[s0:s1], z, init_noise, c, uc,
             )
     timer.mark("sampler_steps", latents)
     decoded = model.decode_first_stage(latents.astype(dtype))
@@ -298,6 +323,7 @@ def run_pipeline(
     seed: Optional[int] = None,
     fps: int = 8,
     encoder_reuse: int = 0,
+    cfg_interval=None,
 ) -> str:
     if seed is not None:
         model._rng = jax.random.PRNGKey(seed)
@@ -309,7 +335,8 @@ def run_pipeline(
     out_frames: List[np.ndarray] = []
     for _ in range(num_iter):
         video = blend_refine(model, frames, masks, elevation=elevation,
-                             encoder_reuse=encoder_reuse)
+                             encoder_reuse=encoder_reuse,
+                             cfg_interval=cfg_interval)
         new = tensor2vid(video)
         out_frames.extend(new if not out_frames else new[1:])
         frames = frames.copy()
@@ -343,6 +370,12 @@ def main(argv: Optional[List[str]] = None) -> None:
                         "step, decode the rest from cached features (Faster "
                         "Diffusion; APPROXIMATE — slightly changes outputs; "
                         "0 = exact reference semantics)")
+    p.add_argument("--cfg_interval", type=float, nargs=2, default=None,
+                   metavar=("LO", "HI"),
+                   help="turbo: apply CFG only on steps with σ in [LO, HI]; "
+                        "a single conditioned UNet pass elsewhere (guidance "
+                        "interval, arXiv 2404.07724; APPROXIMATE unless the "
+                        "interval covers the whole σ schedule)")
     args = p.parse_args(argv)
 
     video_path = args.video_path or os.path.join(
@@ -372,6 +405,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             num_iter=args.num_iter,
             seed=args.seed,
             encoder_reuse=args.encoder_reuse,
+            cfg_interval=args.cfg_interval,
         )
     finally:
         if args.profile_dir:

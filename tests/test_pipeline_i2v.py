@@ -209,3 +209,37 @@ def test_paired_conditioning_matches_two_pass(model):
         np.testing.assert_array_equal(np.asarray(c[k]), np.asarray(c2[k]))
     for k in uc2:
         np.testing.assert_array_equal(np.asarray(uc[k]), np.asarray(uc2[k]))
+
+
+def test_cfg_interval_full_cover_matches_exact(model):
+    """A cfg_interval covering the whole σ schedule is bit-identical to the
+    exact sampling path through engine.sample."""
+    rnd = np.random.RandomState(9)
+    frames = (rnd.rand(T, RES, RES, 3).astype(np.float32)) * 2.0 - 1.0
+    noise = rnd.randn(T, RES // 8, RES // 8, 4).astype(np.float32)
+    kw = dict(elevation=5.0, rng=jax.random.PRNGKey(11),
+              randn=jnp.asarray(noise))
+    exact = generate_orbit(model, frames, **kw)
+    covered = generate_orbit(model, frames, cfg_interval=(0.0, 1e9), **kw)
+    np.testing.assert_array_equal(covered, exact)
+
+
+def test_cfg_interval_narrow_runs_and_approximates(model):
+    """CFG only at the largest σ: the remaining single-pass (un-doubled
+    batch) steps run through the indicator-slicing path and stay close to
+    the exact output at toy size."""
+    sig = np.asarray(model.sampler.discretization(model.sampler.num_steps))
+    lo, hi = float(sig[0]) * 0.99, float(sig[0]) * 1.01
+    flags = (sig[:-1] >= lo) & (sig[:-1] <= hi)
+    assert flags.any() and not flags.all(), sig
+
+    rnd = np.random.RandomState(10)
+    frames = (rnd.rand(T, RES, RES, 3).astype(np.float32)) * 2.0 - 1.0
+    noise = rnd.randn(T, RES // 8, RES // 8, 4).astype(np.float32)
+    kw = dict(elevation=5.0, rng=jax.random.PRNGKey(11),
+              randn=jnp.asarray(noise))
+    exact = generate_orbit(model, frames, **kw)
+    turbo = generate_orbit(model, frames, cfg_interval=(lo, hi), **kw)
+    assert turbo.shape == exact.shape
+    assert np.all(np.isfinite(turbo))
+    assert np.abs(turbo - exact).mean() < 0.5

@@ -155,3 +155,59 @@ def test_full_stage2_pipeline(model, tmp_path):
     from hi3d_tpu.utils.video import import_video
 
     assert len(import_video(out)) >= T
+
+
+def test_cfg_interval_full_cover_matches_exact(model):
+    """A cfg_interval covering the whole σ schedule is bit-identical to the
+    exact blend loop (same runner, CFG never switched off)."""
+    from hi3d_tpu.pipelines.v2v import blend_refine_batch
+
+    rnd = np.random.RandomState(4)
+    videos = (rnd.rand(1, T, RES, RES, 3).astype(np.float32)) * 2.0 - 1.0
+    noise = rnd.randn(T, RES // 8, RES // 8, 4).astype(np.float32)
+    kw = dict(
+        elevations=[5.0],
+        rng=jax.random.PRNGKey(3),
+        init_noise=jnp.asarray(noise),
+        steps_per_launch=None,
+    )
+    exact = blend_refine_batch(model, videos, **kw)
+    covered = blend_refine_batch(model, videos, cfg_interval=(0.0, 1e9), **kw)
+    np.testing.assert_array_equal(covered, exact)
+
+
+def test_cfg_interval_narrow_runs_and_approximates(model):
+    """CFG restricted to the largest σ only: the no-CFG steps run a single
+    conditioned UNet pass (exercising the un-doubled image_only_indicator
+    path) and the output stays close to exact at toy size."""
+    from hi3d_tpu.pipelines.v2v import blend_refine_batch
+
+    sig = np.asarray(model.sampler.discretization(model.sampler.num_steps))
+    lo, hi = float(sig[0]) * 0.99, float(sig[0]) * 1.01
+    flags = (sig[:-1] >= lo) & (sig[:-1] <= hi)
+    assert flags.any() and not flags.all(), sig
+
+    rnd = np.random.RandomState(5)
+    videos = (rnd.rand(1, T, RES, RES, 3).astype(np.float32)) * 2.0 - 1.0
+    noise = rnd.randn(T, RES // 8, RES // 8, 4).astype(np.float32)
+    kw = dict(
+        elevations=[5.0],
+        rng=jax.random.PRNGKey(3),
+        init_noise=jnp.asarray(noise),
+        steps_per_launch=None,
+    )
+    exact = blend_refine_batch(model, videos, **kw)
+    turbo = blend_refine_batch(model, videos, cfg_interval=(lo, hi), **kw)
+    assert turbo.shape == exact.shape
+    assert np.all(np.isfinite(turbo))
+    assert np.abs(turbo - exact).mean() < 0.5
+
+
+def test_cfg_interval_exclusive_with_encoder_reuse_blend(model):
+    from hi3d_tpu.pipelines.v2v import blend_refine_batch
+
+    videos = np.zeros((1, T, RES, RES, 3), np.float32)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        blend_refine_batch(
+            model, videos, cfg_interval=(0.5, 30.0), encoder_reuse=2
+        )

@@ -268,3 +268,144 @@ def test_threaded_extras_matches_closure():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
         )
+
+
+# ---------------------------------------------------------------------------
+# guidance-interval turbo (cfg_interval): CFG only where σ ∈ [lo, hi]
+# ---------------------------------------------------------------------------
+
+VCFG = {
+    "target": "sgm.modules.diffusionmodules.guiders.VanillaCFG",
+    "params": {"scale": 2.0},
+}
+
+
+def test_flag_segments():
+    from hi3d_tpu.diffusion.samplers import _flag_segments
+
+    flags = [False, False, True, True, True, False]
+    assert _flag_segments(flags) == [(0, 2, False), (2, 5, True), (5, 6, False)]
+    assert _flag_segments(flags, chunk=2) == [
+        (0, 2, False), (2, 4, True), (4, 5, True), (5, 6, False)
+    ]
+    assert _flag_segments([True] * 4, chunk=2) == [(0, 2, True), (2, 4, True)]
+
+
+def _cond_denoiser(x, sigma, cond):
+    """Cond-dependent toy denoiser: D = x/(1+σ)·(1 + mean(vectorᵢ)) per row
+    (per-row gain so the uc/c halves of a CFG-doubled batch stay distinct)."""
+    gain = 1.0 + jnp.mean(cond["vector"], axis=1)
+    return (
+        append_dims(gain, x.ndim) * x / (1.0 + append_dims(sigma, x.ndim))
+    )
+
+
+def python_euler_cfg_interval(x0, sigmas, scale, flags, g_c, g_uc):
+    """Euler-EDM with CFG applied only on flagged steps (fp64 host loop)."""
+    x = x0 * np.sqrt(1 + sigmas[0] ** 2)
+    for i in range(len(sigmas) - 1):
+        s = sigmas[i]
+        d_c = g_c * x / (1 + s)
+        if flags[i]:
+            d_uc = g_uc * x / (1 + s)
+            denoised = d_uc + scale * (d_c - d_uc)
+        else:
+            denoised = d_c
+        x = x + (sigmas[i + 1] - s) * (x - denoised) / s
+    return x
+
+
+def test_cfg_interval_matches_python_reference():
+    """Interval-gated CFG equals a hand-rolled loop that doubles the batch
+    only on flagged steps (guidance interval, arXiv 2404.07724)."""
+    sampler = EulerEDMSampler(
+        num_steps=8, discretization_config=DISC, guider_config=VCFG
+    )
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 8, 8))
+    cond = {"vector": jnp.full((2, 8), 0.1)}
+    uc = {"vector": jnp.zeros((2, 8))}
+    lo, hi = 0.5, 30.0
+
+    out = sampler(_cond_denoiser, x0, cond=cond, uc=uc, cfg_interval=(lo, hi))
+
+    sig = np.asarray(sampler.discretization(8), np.float64)
+    sig = np.append(sig, 0.0)[:9]  # sampler appends σ=0 internally via disc
+    flags = (sig[:-1] >= lo) & (sig[:-1] <= hi)
+    assert flags.any() and not flags.all(), "interval must be nontrivial"
+    ref = python_euler_cfg_interval(
+        np.asarray(x0, np.float64), sig, 2.0, flags, g_c=1.1, g_uc=1.0
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_cfg_interval_full_cover_matches_exact():
+    """An interval covering the whole σ schedule is bit-identical to the
+    exact CFG path (the flags never go off)."""
+    kw = dict(num_steps=6, discretization_config=DISC, guider_config=VCFG)
+    x0 = jax.random.normal(jax.random.PRNGKey(5), (2, 4, 8, 8))
+    cond = {"vector": jnp.full((2, 8), 0.1)}
+    uc = {"vector": jnp.zeros((2, 8))}
+    exact = EulerEDMSampler(**kw)(_cond_denoiser, x0, cond=cond, uc=uc)
+    covered = EulerEDMSampler(**kw)(
+        _cond_denoiser, x0, cond=cond, uc=uc, cfg_interval=(0.0, 1e9)
+    )
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(covered))
+
+
+def test_cfg_interval_threaded_extras_matches_plain():
+    """The param-threaded (extras=) segment runners honor the interval and
+    agree with the closure path, chunked and unchunked."""
+    x0 = jax.random.normal(jax.random.PRNGKey(6), (2, 4, 8, 8))
+    cond = {"vector": jnp.full((2, 8), 0.1)}
+    uc = {"vector": jnp.zeros((2, 8))}
+
+    def dfn(extras, x, sigma, cond):
+        (w,), _ = extras
+        return w * _cond_denoiser(x, sigma, cond)
+
+    w = jnp.float32(0.95)
+    for chunk in (None, 3):
+        sampler = EulerEDMSampler(
+            num_steps=8, discretization_config=DISC, guider_config=VCFG,
+            steps_per_launch=chunk,
+        )
+        ref = sampler(
+            lambda x, s, c: w * _cond_denoiser(x, s, c),
+            x0, cond=cond, uc=uc, cfg_interval=(0.5, 30.0),
+        )
+        out = sampler(
+            dfn, x0, cond=cond, uc=uc, extras=((w,), None),
+            cfg_interval=(0.5, 30.0),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_cfg_interval_heun_runs():
+    """Heun's correction denoise follows the same per-step CFG flag."""
+    sampler = HeunEDMSampler(
+        num_steps=6, discretization_config=DISC, guider_config=VCFG
+    )
+    x0 = jax.random.normal(jax.random.PRNGKey(8), (2, 4, 8, 8))
+    cond = {"vector": jnp.full((2, 8), 0.1)}
+    uc = {"vector": jnp.zeros((2, 8))}
+    out = sampler(_cond_denoiser, x0, cond=cond, uc=uc,
+                  cfg_interval=(0.5, 30.0))
+    assert out.shape == x0.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_cfg_interval_exclusive_with_encoder_reuse():
+    import pytest
+
+    sampler = EulerEDMSampler(
+        num_steps=4, discretization_config=DISC, guider_config=VCFG
+    )
+    x0 = jnp.zeros((2, 4, 8, 8))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sampler(
+            _cond_denoiser, x0, cond={"vector": jnp.zeros((2, 8))},
+            uc={"vector": jnp.zeros((2, 8))}, cfg_interval=(0.5, 30.0),
+            encoder_reuse=2,
+        )

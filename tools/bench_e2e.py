@@ -12,9 +12,11 @@ Prints one JSON summary line at the end.
 With --encoder_reuse k (k ≥ 2) each stage ALSO runs the encoder-propagation
 turbo path (same seed/noise) and reports its marginal plus the PSNR between
 turbo and exact outputs — the speed/quality trade of the approximation.
+--cfg_interval LO HI does the same A/B for the guidance-interval turbo
+(CFG only where σ ∈ [LO, HI]; arXiv 2404.07724).
 
 Usage: python tools/bench_e2e.py [--stage 1|2|both] [--res1 512 --res2 1024]
-       [--encoder_reuse 2]
+       [--encoder_reuse 2] [--cfg_interval 0.3 6.0]
 """
 
 from __future__ import annotations
@@ -56,7 +58,8 @@ def _psnr(a: np.ndarray, b: np.ndarray) -> float:
     return min(10.0 * np.log10(4.0 / mse), 99.0)
 
 
-def bench_stage1(res: int, t: int, encoder_reuse: int = 0) -> dict:
+def bench_stage1(res: int, t: int, encoder_reuse: int = 0,
+                 cfg_interval=None) -> dict:
     import jax
 
     from hi3d_tpu.pipelines.common import create_model
@@ -86,12 +89,22 @@ def bench_stage1(res: int, t: int, encoder_reuse: int = 0) -> dict:
                                rng=jax.random.PRNGKey(1), encoder_reuse=k)
         out[f"stage1_turbo_k{k}_marginal_s"] = round(time.time() - t0, 2)
         out[f"stage1_turbo_k{k}_psnr_db"] = round(_psnr(turbo, exact), 2)
+    if cfg_interval is not None:
+        ci = tuple(cfg_interval)
+        generate_orbit(model, frames, elevation=0.0,
+                       rng=jax.random.PRNGKey(0), cfg_interval=ci)  # compile
+        t0 = time.time()
+        turbo = generate_orbit(model, frames, elevation=0.0,
+                               rng=jax.random.PRNGKey(1), cfg_interval=ci)
+        out["stage1_cfgint_marginal_s"] = round(time.time() - t0, 2)
+        out["stage1_cfgint_psnr_db"] = round(_psnr(turbo, exact), 2)
     del model
     gc.collect()
     return out
 
 
-def bench_stage2(res: int, t: int, encoder_reuse: int = 0) -> dict:
+def bench_stage2(res: int, t: int, encoder_reuse: int = 0,
+                 cfg_interval=None) -> dict:
     import jax
 
     from hi3d_tpu.pipelines.common import create_model
@@ -125,6 +138,15 @@ def bench_stage2(res: int, t: int, encoder_reuse: int = 0) -> dict:
                              encoder_reuse=k)
         out[f"stage2_turbo_k{k}_marginal_s"] = round(time.time() - t0, 2)
         out[f"stage2_turbo_k{k}_psnr_db"] = round(_psnr(turbo, exact), 2)
+    if cfg_interval is not None:
+        ci = tuple(cfg_interval)
+        blend_refine(model, frames, masks, rng=jax.random.PRNGKey(0),
+                     cfg_interval=ci)  # compile
+        t0 = time.time()
+        turbo = blend_refine(model, frames, masks, rng=jax.random.PRNGKey(1),
+                             cfg_interval=ci)
+        out["stage2_cfgint_marginal_s"] = round(time.time() - t0, 2)
+        out["stage2_cfgint_psnr_db"] = round(_psnr(turbo, exact), 2)
     del model
     gc.collect()
     return out
@@ -138,13 +160,19 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--encoder_reuse", type=int, default=0,
                     help="also A/B the turbo path at this k (0 = off)")
+    ap.add_argument("--cfg_interval", type=float, nargs=2, default=None,
+                    metavar=("LO", "HI"),
+                    help="also A/B the guidance-interval turbo (CFG only "
+                         "where σ in [LO, HI])")
     args = ap.parse_args()
 
     out = {}
     if args.stage in ("1", "both"):
-        out.update(bench_stage1(args.res1, args.frames, args.encoder_reuse))
+        out.update(bench_stage1(args.res1, args.frames, args.encoder_reuse,
+                                args.cfg_interval))
     if args.stage in ("2", "both"):
-        out.update(bench_stage2(args.res2, args.frames, args.encoder_reuse))
+        out.update(bench_stage2(args.res2, args.frames, args.encoder_reuse,
+                                args.cfg_interval))
     if "stage1_marginal_s" in out and "stage2_marginal_s" in out:
         out["asset_marginal_s"] = round(
             out["stage1_marginal_s"] + out["stage2_marginal_s"], 2
