@@ -387,6 +387,7 @@ class DiffusionEngine:
         randn: Optional[jax.Array] = None,
         encoder_reuse: int = 0,
         cfg_interval: Optional[Tuple[float, float]] = None,
+        num_steps: Optional[int] = None,  # override the sampler's step count
     ) -> jax.Array:
         """Draw latents: full CFG sampling loop, jitted end to end.
 
@@ -434,6 +435,7 @@ class DiffusionEngine:
                 dfn, randn, cond, uc=uc, rng=r_steps,
                 extras=(use_params, image_only_indicator),
                 encoder_reuse=int(encoder_reuse),
+                num_steps=num_steps,
             )
         if cfg_interval is not None and "cfg_interval" not in sampler_params:
             raise ValueError(
@@ -449,12 +451,15 @@ class DiffusionEngine:
             )
             return self.sampler(
                 dfn, randn, cond, uc=uc, rng=r_steps,
-                extras=(use_params, image_only_indicator), **kw,
+                extras=(use_params, image_only_indicator),
+                num_steps=num_steps, **kw,
             )
         denoiser_fn = self.make_denoiser_fn(
             params, num_video_frames=t, image_only_indicator=image_only_indicator
         )
-        return self.sampler(denoiser_fn, randn, cond, uc=uc, rng=r_steps)
+        return self.sampler(
+            denoiser_fn, randn, cond, uc=uc, rng=r_steps, num_steps=num_steps
+        )
 
 
 class VideoLDM(DiffusionEngine):

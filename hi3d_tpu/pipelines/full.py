@@ -125,6 +125,7 @@ def run_two_stage(
     score_views: bool = True,
     encoder_reuse: int = 0,  # turbo for BOTH stages (approximate; 0 = exact)
     cfg_interval=None,  # (lo, hi): CFG only where σ ∈ [lo, hi], both stages
+    num_steps: Optional[int] = None,  # sampler step override, both stages
 ) -> Dict:
     """Chain stage 1 → stage 2 → scoring. Returns paths + metrics.
 
@@ -147,6 +148,7 @@ def run_two_stage(
         skip_rembg=skip_rembg,
         encoder_reuse=encoder_reuse,
         cfg_interval=cfg_interval,
+        num_steps=num_steps,
     )
     if owns1:
         m1 = None  # free stage-1 weights/towers before stage 2 loads
@@ -173,6 +175,7 @@ def run_two_stage(
         fps=fps,
         encoder_reuse=encoder_reuse,
         cfg_interval=cfg_interval,
+        num_steps=num_steps,
     )
     if owns2:
         m2 = None
@@ -230,6 +233,9 @@ def main(argv: Optional[List[str]] = None) -> None:
                         "with σ in [LO, HI] (guidance interval, arXiv "
                         "2404.07724; APPROXIMATE unless it covers the whole "
                         "σ schedule)")
+    p.add_argument("--num_steps", type=int, default=None,
+                   help="override both stages' sampler step count "
+                        "(reference default: 25)")
     args = p.parse_args(argv)
 
     def _load(config_path, ckpt_path, res):
@@ -259,6 +265,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             score_views=not args.no_metrics,
             encoder_reuse=args.encoder_reuse,
             cfg_interval=args.cfg_interval,
+            num_steps=args.num_steps,
         )
     finally:
         if args.profile_dir:

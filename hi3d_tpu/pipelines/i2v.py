@@ -99,6 +99,7 @@ def generate_orbit(
         randn=randn,
         encoder_reuse=encoder_reuse,
         cfg_interval=cfg_interval,
+        num_steps=num_steps,
     )
     timer.mark("sampler_steps", samples)
     decoded = model.decode_first_stage(samples)  # (T, H, W, 3) fp32
@@ -122,6 +123,7 @@ def run_pipeline(
     skip_rembg: bool = False,
     encoder_reuse: int = 0,
     cfg_interval=None,
+    num_steps: Optional[int] = None,
 ) -> str:
     """Full stage-1 CLI behavior; returns the mp4 path."""
     if seed is not None:
@@ -143,7 +145,8 @@ def run_pipeline(
     for _ in range(num_iter):
         video = generate_orbit(model, frames, elevation=elevation,
                                encoder_reuse=encoder_reuse,
-                               cfg_interval=cfg_interval)
+                               cfg_interval=cfg_interval,
+                               num_steps=num_steps)
         new = tensor2vid(video)
         # consecutive orbits share the boundary frame (reference :108-112)
         out_frames.extend(new if not out_frames else new[1:])
@@ -182,6 +185,9 @@ def main(argv: Optional[List[str]] = None) -> None:
                         "a single conditioned UNet pass elsewhere (guidance "
                         "interval, arXiv 2404.07724; APPROXIMATE unless the "
                         "interval covers the whole σ schedule)")
+    p.add_argument("--num_steps", type=int, default=None,
+                   help="override the config's sampler step count "
+                        "(reference default: 25)")
     args = p.parse_args(argv)
 
     from .common import load_inference_model
@@ -209,6 +215,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             skip_rembg=args.skip_rembg,
             encoder_reuse=args.encoder_reuse,
             cfg_interval=args.cfg_interval,
+            num_steps=args.num_steps,
         )
     finally:
         if args.profile_dir:

@@ -55,6 +55,7 @@ def blend_refine(
     steps_per_launch: Optional[int] = 8,
     encoder_reuse: int = 0,
     cfg_interval=None,
+    num_steps: Optional[int] = None,
 ) -> np.ndarray:
     """frames (T, H, W, 3) in [-1,1] → refined (T, H, W, 3) in [-1,1]."""
     t = model.num_samples
@@ -68,6 +69,7 @@ def blend_refine(
         steps_per_launch=steps_per_launch,
         encoder_reuse=encoder_reuse,
         cfg_interval=cfg_interval,
+        num_steps=num_steps,
     )
     return out[0]
 
@@ -84,6 +86,7 @@ def blend_refine_batch(
     batch_overrides: Optional[Dict] = None,  # applied after add_custom_cond
     encoder_reuse: int = 0,
     cfg_interval=None,  # (lo, hi): CFG only where σ ∈ [lo, hi] (turbo)
+    num_steps: Optional[int] = None,  # override the sampler's step count
 ) -> np.ndarray:
     """Batched stage-2 latent-blending refinement: B assets at once.
 
@@ -108,7 +111,7 @@ def blend_refine_batch(
     shard = shard if shard is not None else (lambda x: x)
 
     sampler = model.sampler
-    num_steps = sampler.num_steps
+    num_steps = int(num_steps) if num_steps else sampler.num_steps
     sigmas = sampler.discretization(num_steps)  # (num_steps+1,) fp32
     num_sigmas = int(sigmas.shape[0])
 
@@ -324,6 +327,7 @@ def run_pipeline(
     fps: int = 8,
     encoder_reuse: int = 0,
     cfg_interval=None,
+    num_steps: Optional[int] = None,
 ) -> str:
     if seed is not None:
         model._rng = jax.random.PRNGKey(seed)
@@ -336,7 +340,8 @@ def run_pipeline(
     for _ in range(num_iter):
         video = blend_refine(model, frames, masks, elevation=elevation,
                              encoder_reuse=encoder_reuse,
-                             cfg_interval=cfg_interval)
+                             cfg_interval=cfg_interval,
+                             num_steps=num_steps)
         new = tensor2vid(video)
         out_frames.extend(new if not out_frames else new[1:])
         frames = frames.copy()
@@ -376,6 +381,9 @@ def main(argv: Optional[List[str]] = None) -> None:
                         "a single conditioned UNet pass elsewhere (guidance "
                         "interval, arXiv 2404.07724; APPROXIMATE unless the "
                         "interval covers the whole σ schedule)")
+    p.add_argument("--num_steps", type=int, default=None,
+                   help="override the config's sampler step count "
+                        "(reference default: 25)")
     args = p.parse_args(argv)
 
     video_path = args.video_path or os.path.join(
@@ -406,6 +414,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             seed=args.seed,
             encoder_reuse=args.encoder_reuse,
             cfg_interval=args.cfg_interval,
+            num_steps=args.num_steps,
         )
     finally:
         if args.profile_dir:

@@ -243,3 +243,18 @@ def test_cfg_interval_narrow_runs_and_approximates(model):
     assert turbo.shape == exact.shape
     assert np.all(np.isfinite(turbo))
     assert np.abs(turbo - exact).mean() < 0.5
+
+
+def test_num_steps_override_is_honored(model):
+    """generate_orbit(num_steps=k) must change the sampler trajectory (it
+    was previously accepted but silently ignored)."""
+    rnd = np.random.RandomState(12)
+    frames = (rnd.rand(T, RES, RES, 3).astype(np.float32)) * 2.0 - 1.0
+    noise = rnd.randn(T, RES // 8, RES // 8, 4).astype(np.float32)
+    kw = dict(elevation=5.0, rng=jax.random.PRNGKey(13),
+              randn=jnp.asarray(noise))
+    default_steps = generate_orbit(model, frames, **kw)
+    overridden = generate_orbit(model, frames, num_steps=1, **kw)
+    assert overridden.shape == default_steps.shape
+    assert np.all(np.isfinite(overridden))
+    assert np.abs(overridden - default_steps).max() > 1e-6

@@ -211,3 +211,16 @@ def test_cfg_interval_exclusive_with_encoder_reuse_blend(model):
         blend_refine_batch(
             model, videos, cfg_interval=(0.5, 30.0), encoder_reuse=2
         )
+
+
+def test_num_steps_override_is_honored(model):
+    """blend_refine(num_steps=k) re-derives the σ schedule, blend α, and
+    scan length from k instead of the config's sampler.num_steps."""
+    rnd = np.random.RandomState(6)
+    frames = (rnd.rand(T, RES, RES, 3).astype(np.float32)) * 2.0 - 1.0
+    kw = dict(elevation=5.0, rng=jax.random.PRNGKey(7))
+    default_steps = blend_refine(model, frames, **kw)
+    overridden = blend_refine(model, frames, num_steps=1, **kw)
+    assert overridden.shape == default_steps.shape
+    assert np.all(np.isfinite(overridden))
+    assert np.abs(overridden - default_steps).max() > 1e-6
