@@ -224,3 +224,32 @@ def test_two_stage_server_default_split_is_power_of_two(model, stage2_model):
     s2 = TwoStageServer(model, stage2_model, stage1_devices=devs[:1])
     assert s2.orbit.mesh.devices.size == 1
     assert s2.refine.mesh.devices.size == len(devs) - 1
+
+
+def test_servers_run_cfg_interval_sharded(model, stage2_model):
+    """Guidance-interval turbo under a sharded mesh: single-pass (un-doubled)
+    steps change the sharded batch shapes mid-loop; both servers must still
+    produce finite, exactly-sharded outputs."""
+    from hi3d_tpu.pipelines.serve import RefineServer
+
+    sig1 = np.asarray(model.sampler.discretization(model.sampler.num_steps))
+    ci1 = (float(sig1[0]) * 0.99, float(sig1[0]) * 1.01)  # CFG on step 0 only
+    mesh = make_mesh(data=4)
+    img = (np.random.RandomState(5).rand(1, RES, RES, 3)
+           .astype(np.float32)) * 2 - 1
+    out1 = OrbitServer(model, mesh=mesh).generate(
+        img, elevations=[5.0], rng=jax.random.PRNGKey(3), cfg_interval=ci1
+    )
+    assert out1.shape == (1, T, RES, RES, 3)
+    assert np.all(np.isfinite(out1))
+
+    sig2 = np.asarray(
+        stage2_model.sampler.discretization(stage2_model.sampler.num_steps)
+    )
+    ci2 = (float(sig2[0]) * 0.99, float(sig2[0]) * 1.01)
+    videos = np.repeat(img[:, None], T, axis=1)
+    out2 = RefineServer(stage2_model, mesh=mesh).refine(
+        videos, elevations=[5.0], rng=jax.random.PRNGKey(3), cfg_interval=ci2
+    )
+    assert out2.shape == (1, T, RES, RES, 3)
+    assert np.all(np.isfinite(out2))
