@@ -203,6 +203,14 @@ class Checkpointer:
         force: bool = False,
         metrics: Optional[Dict] = None,
     ) -> None:
+        """Asynchronous save: device arrays go to orbax directly (it copies
+        them to host synchronously, then writes to storage in the
+        background), so the train loop resumes immediately — the reference
+        blocks training for the whole ModelCheckpoint write. Passing
+        jax.Arrays (not np.asarray copies) also keeps multi-host sharded
+        state savable: each host hands orbax only its addressable shards.
+        `force=True` (final/signal saves) blocks until the write is durable.
+        """
         import orbax.checkpoint as ocp
 
         kw = {}
@@ -214,12 +222,11 @@ class Checkpointer:
             m.setdefault(self.monitor, float("inf") if self.mode == "min"
                          else float("-inf"))
             kw["metrics"] = m
-        self.manager.save(
-            step,
-            args=ocp.args.StandardSave(jax.tree.map(np.asarray, state)),
-            **kw,
-        )
+        # one in-flight async save at a time (orbax requirement)
         self.manager.wait_until_finished()
+        self.manager.save(step, args=ocp.args.StandardSave(state), **kw)
+        if force:
+            self.manager.wait_until_finished()
 
     def maybe_save(
         self, step: int, state: TrainState, metrics: Optional[Dict] = None
@@ -228,15 +235,25 @@ class Checkpointer:
             self.save(step, state, metrics=metrics)
 
     def latest_step(self) -> Optional[int]:
+        self.manager.wait_until_finished()  # surface in-flight saves
         return self.manager.latest_step()
+
+    def close(self) -> None:
+        """Block until any in-flight async save is durable."""
+        self.manager.wait_until_finished()
 
     def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
         import orbax.checkpoint as ocp
 
+        self.manager.wait_until_finished()
         step = step if step is not None else self.manager.latest_step()
+        # shape/dtype template without pulling the live state to host
         abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
-            jax.tree.map(np.asarray, state),
+            lambda x: jax.ShapeDtypeStruct(
+                getattr(x, "shape", np.shape(x)),
+                getattr(x, "dtype", None) or np.asarray(x).dtype,
+            ),
+            state,
         )
         return self.manager.restore(step, args=ocp.args.StandardRestore(abstract))
 
@@ -434,6 +451,7 @@ class Trainer:
                 step, self.state, force=True,
                 metrics=getattr(self, "_last_metrics", None),
             )
+            self.checkpointer.close()
             self.metrics.close()
         return self.state
 
