@@ -57,6 +57,8 @@ def generate_orbit(
     batch_overrides: Optional[Dict] = None,  # applied after add_custom_cond
     encoder_reuse: int = 0,  # turbo: UNet encoder every k-th step (approx.)
     cfg_interval=None,  # (lo, hi): CFG only where σ ∈ [lo, hi] (turbo)
+    output_dtype: str = "float32",  # "uint8": denormalize on device (4× less
+    # device→host traffic; EXACT — the mp4 export quantizes to uint8 anyway)
 ) -> np.ndarray:
     """frames (T, H, W, 3) in [-1,1] → generated orbit (T, H, W, 3) in [-1,1].
 
@@ -104,7 +106,12 @@ def generate_orbit(
     timer.mark("sampler_steps", samples)
     decoded = model.decode_first_stage(samples)  # (T, H, W, 3) fp32
     timer.mark("vae_decode", decoded)
-    out = np.asarray(jnp.clip(decoded, -1.0, 1.0), dtype=np.float32)
+    from ..utils.video import denorm_to_uint8
+
+    if output_dtype == "uint8":
+        out = np.asarray(denorm_to_uint8(decoded))
+    else:
+        out = np.asarray(jnp.clip(decoded, -1.0, 1.0), dtype=np.float32)
     timer.mark("to_host")
     timer.report()
     return out
@@ -146,7 +153,8 @@ def run_pipeline(
         video = generate_orbit(model, frames, elevation=elevation,
                                encoder_reuse=encoder_reuse,
                                cfg_interval=cfg_interval,
-                               num_steps=num_steps)
+                               num_steps=num_steps,
+                               output_dtype="uint8")
         new = tensor2vid(video)
         # consecutive orbits share the boundary frame (reference :108-112)
         out_frames.extend(new if not out_frames else new[1:])

@@ -56,6 +56,7 @@ class OrbitServer:
         rng: Optional[jax.Array] = None,
         encoder_reuse: int = 0,  # turbo (approximate; 0 = exact)
         cfg_interval=None,  # (lo, hi): CFG only where σ ∈ [lo, hi] (turbo)
+        output_dtype: str = "float32",  # "uint8": denormalize on device
     ) -> np.ndarray:
         """→ (B, T, H, W, 3) in [-1, 1]; B must divide by the mesh data size."""
         model = self.model
@@ -94,6 +95,10 @@ class OrbitServer:
             cfg_interval=cfg_interval,
         )
         decoded = model.decode_first_stage(samples)
+        if output_dtype == "uint8":
+            from ..utils.video import denorm_to_uint8
+
+            return np.asarray(denorm_to_uint8(decoded)).reshape(b, t, h, w, 3)
         out = np.asarray(
             jnp.clip(decoded, -1.0, 1.0), dtype=np.float32
         ).reshape(b, t, h, w, 3)
@@ -122,6 +127,7 @@ class RefineServer:
         steps_per_launch: Optional[int] = 8,
         encoder_reuse: int = 0,  # turbo (approximate; 0 = exact)
         cfg_interval=None,  # (lo, hi): CFG only where σ ∈ [lo, hi] (turbo)
+        output_dtype: str = "float32",  # "uint8": denormalize on device
     ) -> np.ndarray:
         from .v2v import blend_refine_batch
 
@@ -142,6 +148,7 @@ class RefineServer:
             shard=_mesh_put(self.mesh),
             encoder_reuse=encoder_reuse,
             cfg_interval=cfg_interval,
+            output_dtype=output_dtype,
         )
 
 
@@ -216,6 +223,7 @@ class TwoStageServer:
         stage2_hw: Optional[Sequence[int]] = None,
         encoder_reuse: int = 0,
         cfg_interval=None,
+        output_dtype: str = "float32",
     ) -> np.ndarray:
         """→ refined (B, T, H2, W2, 3) in [-1, 1]."""
         if rng is None:
@@ -227,11 +235,12 @@ class TwoStageServer:
         videos = self._to_stage2_res(videos, stage2_hw)
         return self.refine.refine(videos, elevations=elevations, rng=r2,
                                   encoder_reuse=encoder_reuse,
-                                  cfg_interval=cfg_interval)
+                                  cfg_interval=cfg_interval,
+                                  output_dtype=output_dtype)
 
     def generate_stream(self, batches, elevations=None, rng=None,
                         stage2_hw=None, encoder_reuse: int = 0,
-                        cfg_interval=None):
+                        cfg_interval=None, output_dtype: str = "float32"):
         """Pipelined generator over an iterable of image batches: stage-1 of
         batch N+1 runs while stage-2 of batch N drains its submesh. A
         consumer-side failure cancels the producer cleanly (no thread left
@@ -308,6 +317,7 @@ class TwoStageServer:
                     videos, elevations=elev, rng=r2,
                     encoder_reuse=encoder_reuse,
                     cfg_interval=cfg_interval,
+                    output_dtype=output_dtype,
                 )
         finally:
             stop.set()
@@ -451,6 +461,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                 rng=jax.random.fold_in(rng, i),
                 encoder_reuse=args.encoder_reuse,
                 cfg_interval=args.cfg_interval,
+                output_dtype="uint8",
             )
             _export(videos, done)
             done += len(chunk)
@@ -471,6 +482,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             stage2_hw=tuple(args.stage2_resolution),
             encoder_reuse=args.encoder_reuse,
             cfg_interval=args.cfg_interval,
+            output_dtype="uint8",
         ):
             _export(videos, done)
             done += len(videos)

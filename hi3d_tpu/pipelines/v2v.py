@@ -56,6 +56,7 @@ def blend_refine(
     encoder_reuse: int = 0,
     cfg_interval=None,
     num_steps: Optional[int] = None,
+    output_dtype: str = "float32",
 ) -> np.ndarray:
     """frames (T, H, W, 3) in [-1,1] → refined (T, H, W, 3) in [-1,1]."""
     t = model.num_samples
@@ -70,6 +71,7 @@ def blend_refine(
         encoder_reuse=encoder_reuse,
         cfg_interval=cfg_interval,
         num_steps=num_steps,
+        output_dtype=output_dtype,
     )
     return out[0]
 
@@ -87,6 +89,8 @@ def blend_refine_batch(
     encoder_reuse: int = 0,
     cfg_interval=None,  # (lo, hi): CFG only where σ ∈ [lo, hi] (turbo)
     num_steps: Optional[int] = None,  # override the sampler's step count
+    output_dtype: str = "float32",  # "uint8": denormalize on device (4× less
+    # device→host traffic; EXACT — the mp4 export quantizes to uint8 anyway)
 ) -> np.ndarray:
     """Batched stage-2 latent-blending refinement: B assets at once.
 
@@ -290,7 +294,12 @@ def blend_refine_batch(
     timer.mark("sampler_steps", latents)
     decoded = model.decode_first_stage(latents.astype(dtype))
     timer.mark("vae_decode", decoded)
-    out = np.asarray(jnp.clip(decoded, -1.0, 1.0), dtype=np.float32)
+    from ..utils.video import denorm_to_uint8
+
+    if output_dtype == "uint8":
+        out = np.asarray(denorm_to_uint8(decoded))
+    else:
+        out = np.asarray(jnp.clip(decoded, -1.0, 1.0), dtype=np.float32)
     timer.mark("to_host")
     timer.report()
     return out.reshape(b, t, *out.shape[1:])
@@ -341,7 +350,8 @@ def run_pipeline(
         video = blend_refine(model, frames, masks, elevation=elevation,
                              encoder_reuse=encoder_reuse,
                              cfg_interval=cfg_interval,
-                             num_steps=num_steps)
+                             num_steps=num_steps,
+                             output_dtype="uint8")
         new = tensor2vid(video)
         out_frames.extend(new if not out_frames else new[1:])
         frames = frames.copy()

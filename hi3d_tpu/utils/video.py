@@ -14,15 +14,47 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 
+def denorm_to_uint8(x):
+    """[-1,1] device array → uint8 ON DEVICE (tensor2vid's exact math:
+    (x·0.5+0.5)·255 rounded). Shrinks the device→host transfer 4× — through
+    the tunneled TPU that transfer dominates the pipeline tail (19 s of an
+    87 s stage-2 asset at fp32)."""
+    import jax
+
+    global _denorm_jit
+    if _denorm_jit is None:
+        import jax.numpy as jnp
+
+        _denorm_jit = jax.jit(
+            lambda v: jnp.round(
+                jnp.clip(v, -1.0, 1.0) * 127.5 + 127.5
+            ).astype(jnp.uint8)
+        )
+    return _denorm_jit(x)
+
+
+_denorm_jit = None
+
+
 def tensor2vid(
     video: np.ndarray,
     mean: Sequence[float] = (0.5, 0.5, 0.5),
     std: Sequence[float] = (0.5, 0.5, 0.5),
 ) -> List[np.ndarray]:
-    """(B, T, H, W, C) or (T, H, W, C) in [-1,1] → list of HWC uint8 frames."""
-    video = np.asarray(video, dtype=np.float32)
+    """(B, T, H, W, C) or (T, H, W, C) in [-1,1] → list of HWC uint8 frames.
+
+    uint8 input (already denormalized on device — see generate_orbit/
+    blend_refine `output_dtype="uint8"`) passes straight through when the
+    default mean/std apply.
+    """
+    video = np.asarray(video)
     if video.ndim == 5:
         video = video[0]
+    if (video.dtype == np.uint8
+            and tuple(mean) == (0.5, 0.5, 0.5)
+            and tuple(std) == (0.5, 0.5, 0.5)):
+        return list(video)
+    video = video.astype(np.float32)
     video = video * np.asarray(std, np.float32) + np.asarray(mean, np.float32)
     video = np.clip(video, 0.0, 1.0)
     return [(f * 255.0).round().astype(np.uint8) for f in video]

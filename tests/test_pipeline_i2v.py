@@ -258,3 +258,24 @@ def test_num_steps_override_is_honored(model):
     assert overridden.shape == default_steps.shape
     assert np.all(np.isfinite(overridden))
     assert np.abs(overridden - default_steps).max() > 1e-6
+
+
+def test_uint8_output_matches_host_quantization(model):
+    """output_dtype="uint8" denormalizes on device with tensor2vid's exact
+    math — frames match the host float path within 1 quantization step."""
+    from hi3d_tpu.utils.video import tensor2vid
+
+    rnd = np.random.RandomState(14)
+    frames = (rnd.rand(T, RES, RES, 3).astype(np.float32)) * 2.0 - 1.0
+    noise = rnd.randn(T, RES // 8, RES // 8, 4).astype(np.float32)
+    kw = dict(elevation=5.0, rng=jax.random.PRNGKey(15),
+              randn=jnp.asarray(noise))
+    f32 = generate_orbit(model, frames, **kw)
+    u8 = generate_orbit(model, frames, output_dtype="uint8", **kw)
+    assert u8.dtype == np.uint8 and u8.shape == f32.shape
+    host = np.stack(tensor2vid(f32))
+    diff = np.abs(host.astype(np.int16) - u8.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.999
+    # uint8 passthrough in tensor2vid
+    assert np.array_equal(np.stack(tensor2vid(u8)), u8)

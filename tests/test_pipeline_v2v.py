@@ -224,3 +224,18 @@ def test_num_steps_override_is_honored(model):
     assert overridden.shape == default_steps.shape
     assert np.all(np.isfinite(overridden))
     assert np.abs(overridden - default_steps).max() > 1e-6
+
+
+def test_uint8_output_matches_host_quantization(model):
+    from hi3d_tpu.utils.video import tensor2vid
+
+    rnd = np.random.RandomState(7)
+    frames = (rnd.rand(T, RES, RES, 3).astype(np.float32)) * 2.0 - 1.0
+    kw = dict(elevation=5.0, rng=jax.random.PRNGKey(8))
+    f32 = blend_refine(model, frames, **kw)
+    u8 = blend_refine(model, frames, output_dtype="uint8", **kw)
+    assert u8.dtype == np.uint8 and u8.shape == f32.shape
+    host = np.stack(tensor2vid(f32))
+    diff = np.abs(host.astype(np.int16) - u8.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.999

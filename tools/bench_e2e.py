@@ -59,7 +59,7 @@ def _psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def bench_stage1(res: int, t: int, encoder_reuse: int = 0,
-                 cfg_interval=None) -> dict:
+                 cfg_interval=None, uint8: bool = False) -> dict:
     import jax
 
     from hi3d_tpu.pipelines.common import create_model
@@ -71,13 +71,17 @@ def bench_stage1(res: int, t: int, encoder_reuse: int = 0,
     model.num_samples = t
     frames = _demo_frames(t, res)
 
+    odt = "uint8" if uint8 else "float32"
     t0 = time.time()
-    generate_orbit(model, frames, elevation=0.0, rng=jax.random.PRNGKey(0))
+    generate_orbit(model, frames, elevation=0.0, rng=jax.random.PRNGKey(0),
+                   output_dtype=odt)
     cold = time.time() - t0
     t0 = time.time()
     exact = generate_orbit(model, frames, elevation=0.0,
-                           rng=jax.random.PRNGKey(1))
+                           rng=jax.random.PRNGKey(1), output_dtype=odt)
     marginal = time.time() - t0
+    if uint8:
+        exact = exact.astype(np.float32) / 127.5 - 1.0  # for PSNR baselines
     out = {"stage1_cold_s": round(cold, 1),
            "stage1_marginal_s": round(marginal, 2)}
     if encoder_reuse:
@@ -104,7 +108,7 @@ def bench_stage1(res: int, t: int, encoder_reuse: int = 0,
 
 
 def bench_stage2(res: int, t: int, encoder_reuse: int = 0,
-                 cfg_interval=None) -> dict:
+                 cfg_interval=None, uint8: bool = False) -> dict:
     import jax
 
     from hi3d_tpu.pipelines.common import create_model
@@ -121,12 +125,17 @@ def bench_stage2(res: int, t: int, encoder_reuse: int = 0,
         for f in frames
     ])
 
+    odt = "uint8" if uint8 else "float32"
     t0 = time.time()
-    blend_refine(model, frames, masks, rng=jax.random.PRNGKey(0))
+    blend_refine(model, frames, masks, rng=jax.random.PRNGKey(0),
+                 output_dtype=odt)
     cold = time.time() - t0
     t0 = time.time()
-    exact = blend_refine(model, frames, masks, rng=jax.random.PRNGKey(1))
+    exact = blend_refine(model, frames, masks, rng=jax.random.PRNGKey(1),
+                         output_dtype=odt)
     marginal = time.time() - t0
+    if uint8:
+        exact = exact.astype(np.float32) / 127.5 - 1.0
     out = {"stage2_cold_s": round(cold, 1),
            "stage2_marginal_s": round(marginal, 2)}
     if encoder_reuse:
@@ -164,15 +173,18 @@ def main() -> None:
                     metavar=("LO", "HI"),
                     help="also A/B the guidance-interval turbo (CFG only "
                          "where σ in [LO, HI])")
+    ap.add_argument("--uint8", action="store_true",
+                    help="denormalize to uint8 on device before the "
+                         "device→host transfer (the production CLI path)")
     args = ap.parse_args()
 
     out = {}
     if args.stage in ("1", "both"):
         out.update(bench_stage1(args.res1, args.frames, args.encoder_reuse,
-                                args.cfg_interval))
+                                args.cfg_interval, uint8=args.uint8))
     if args.stage in ("2", "both"):
         out.update(bench_stage2(args.res2, args.frames, args.encoder_reuse,
-                                args.cfg_interval))
+                                args.cfg_interval, uint8=args.uint8))
     if "stage1_marginal_s" in out and "stage2_marginal_s" in out:
         out["asset_marginal_s"] = round(
             out["stage1_marginal_s"] + out["stage2_marginal_s"], 2
