@@ -30,7 +30,6 @@ from ..utils.image import (
     load_image_rgb,
     remove_background,
     resize_center_crop,
-    to_tensor_range,
 )
 from ..utils.video import export_to_video, tensor2vid
 
@@ -40,10 +39,10 @@ UC_ZERO_KEYS = ("cond_frames", "cond_frames_without_noise")
 def prepare_frames(
     image_path: str, clip_size: int, resolution: Tuple[int, int]
 ) -> np.ndarray:
-    """(T, H, W, 3) float32 in [-1, 1]: T copies of the preprocessed image."""
+    """(T, H, W, 3) uint8: T copies of the preprocessed image (converted to
+    [-1,1] on device by generate_orbit — 1 byte/pixel over the link)."""
     img = load_image_rgb(image_path)
     img = resize_center_crop(img, resolution)
-    img = to_tensor_range(img)
     return np.repeat(img[None], clip_size, axis=0)
 
 
@@ -75,8 +74,16 @@ def generate_orbit(
         rng = model.next_rng()
     r_cond, r_custom, r_sample = jax.random.split(rng, 3)
 
+    frames_np = np.asarray(frames)
+    if frames_np.dtype == np.uint8:
+        # 1 byte/pixel over the host↔device link; exact to_tensor_range math
+        from ..utils.video import range_from_uint8
+
+        video_dev = range_from_uint8(jnp.asarray(frames_np))
+    else:
+        video_dev = jnp.asarray(frames_np, jnp.float32)
     batch: Dict = {
-        "video": jnp.asarray(frames)[None],
+        "video": video_dev[None],
         "elevation": jnp.asarray([elevation], jnp.float32),
         "fps_id": jnp.asarray([7], jnp.int32),
         "motion_bucket_id": jnp.asarray([127], jnp.int32),
@@ -159,7 +166,7 @@ def run_pipeline(
         # consecutive orbits share the boundary frame (reference :108-112)
         out_frames.extend(new if not out_frames else new[1:])
         frames = frames.copy()
-        frames[0] = to_tensor_range(out_frames[-1])
+        frames[0] = out_frames[-1]  # uint8 end to end
 
     out_path = os.path.join(output_dir, "first_step", "first.mp4")
     return export_to_video(out_frames, out_path, fps=fps)

@@ -31,7 +31,6 @@ import jax.numpy as jnp
 from ..utils.image import (
     foreground_mask_from_white,
     load_image_rgb,
-    to_tensor_range,
 )
 from ..utils.video import export_to_video, import_video, tensor2vid
 from .i2v import UC_ZERO_KEYS
@@ -58,7 +57,9 @@ def blend_refine(
     num_steps: Optional[int] = None,
     output_dtype: str = "float32",
 ) -> np.ndarray:
-    """frames (T, H, W, 3) in [-1,1] → refined (T, H, W, 3) in [-1,1]."""
+    """frames (T, H, W, 3) in [-1,1] float — or uint8, converted on
+    device — → refined (T, H, W, 3) in [-1,1] (or uint8 with
+    output_dtype="uint8")."""
     t = model.num_samples
     assert frames.shape[0] == t, (frames.shape, t)
     out = blend_refine_batch(
@@ -119,14 +120,26 @@ def blend_refine_batch(
     sigmas = sampler.discretization(num_steps)  # (num_steps+1,) fp32
     num_sigmas = int(sigmas.shape[0])
 
+    # ONE device copy of the video, shared by conditioning and VAE encode
+    # (it was uploaded twice before — ~6 s/asset through the tunneled chip);
+    # uint8 input uploads 1 byte/pixel and denormalizes on device
+    videos_np = np.asarray(videos)
+    if videos_np.dtype == np.uint8:
+        from ..utils.video import range_from_uint8
+
+        video_dev = range_from_uint8(jnp.asarray(videos_np))
+    else:
+        video_dev = jnp.asarray(videos_np, jnp.float32)
     batch: Dict = {
-        "video": jnp.asarray(videos),
+        "video": video_dev,
         "elevation": jnp.asarray(
             elevations if elevations is not None else [0.0] * b, jnp.float32
         ),
     }
     if masks is not None:
-        batch["masks"] = jnp.asarray(masks)
+        # the inference path never reads masks (degradation is train-only);
+        # keep them host-side so they are not uploaded
+        batch["masks"] = np.asarray(masks)
     batch = model.add_custom_cond(batch, infer=True, rng=r_custom)
     if batch_overrides:
         # reproducibility/parity hook: pin stochastic conditioning inputs
@@ -141,7 +154,7 @@ def blend_refine_batch(
     timer.mark("conditioner", (c, uc))
 
     # per-frame latents of the conditioning video (fp32 VAE)
-    flat = shard(jnp.asarray(videos).reshape(b * t, *videos.shape[2:]))
+    flat = shard(video_dev.reshape(b * t, *video_dev.shape[2:]))
     z = model.encode_first_stage(flat)  # (B·T, h/8, w/8, 4)
     z = z.astype(jnp.float32)
     timer.mark("vae_encode", z)
@@ -311,7 +324,10 @@ def prepare_inputs(
     clip_size: int,
     resolution: Tuple[int, int],
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Last clip_size video frames, frame 0 ← clean image; (frames, masks)."""
+    """Last clip_size video frames, frame 0 ← clean image; (frames, masks).
+
+    Frames stay uint8 — blend_refine converts to [-1,1] on device (1
+    byte/pixel over the host↔device link instead of 4)."""
     import cv2
 
     raw = import_video(video_path)
@@ -319,8 +335,7 @@ def prepare_inputs(
     frames[0] = load_image_rgb(image_path)
     frames = [cv2.resize(f, (resolution[1], resolution[0])) for f in frames]
     masks = np.stack([foreground_mask_from_white(f) for f in frames])
-    frames = np.stack([to_tensor_range(f) for f in frames])
-    return frames, masks
+    return np.stack(frames), masks
 
 
 def run_pipeline(
@@ -355,7 +370,7 @@ def run_pipeline(
         new = tensor2vid(video)
         out_frames.extend(new if not out_frames else new[1:])
         frames = frames.copy()
-        frames[0] = to_tensor_range(out_frames[-1])
+        frames[0] = out_frames[-1]  # uint8 end to end
 
     out_path = os.path.join(output_dir, "second_step_video", "second.mp4")
     return export_to_video(out_frames, out_path, fps=fps)

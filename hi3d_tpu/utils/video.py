@@ -36,6 +36,25 @@ def denorm_to_uint8(x):
 _denorm_jit = None
 
 
+def range_from_uint8(x):
+    """uint8 device array → [-1,1] fp32 ON DEVICE (to_tensor_range's exact
+    math: x/255·2−1). Lets pipelines upload 1 byte/pixel — through the
+    tunneled chip the fp32 video upload costs seconds per asset."""
+    import jax
+
+    global _range_jit
+    if _range_jit is None:
+        import jax.numpy as jnp
+
+        _range_jit = jax.jit(
+            lambda v: v.astype(jnp.float32) / 127.5 - 1.0
+        )
+    return _range_jit(x)
+
+
+_range_jit = None
+
+
 def tensor2vid(
     video: np.ndarray,
     mean: Sequence[float] = (0.5, 0.5, 0.5),
