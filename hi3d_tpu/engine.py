@@ -45,6 +45,14 @@ DEFAULT_WRAPPER = {
 }
 
 
+@jax.jit
+def _noise_aug(x, rng, aug):
+    """x + aug·N(0,1) in ONE compiled kernel. Un-jitted threefry sampling on
+    a (16, 1024, 1024, 3) tensor costs seconds of eager dispatch through the
+    tunneled chip; jitted it is a single fused pass."""
+    return x + aug * jax.random.normal(rng, x.shape, x.dtype)
+
+
 def _fit_indicator(indicator, x, num_video_frames: int):
     """Match a (possibly CFG-doubled) image_only_indicator to x's batch.
 
@@ -501,10 +509,9 @@ class VideoLDM(DiffusionEngine):
             # infer: fixed σ=0.02 noise augmentation (vtdm_gen_v01.py:68-69)
             cond_aug = jnp.full((n,), 0.02, dtype=jnp.float32)
         batch["cond_aug"] = cond_aug
-        noise = jax.random.normal(r_noise, image.shape, dtype=image.dtype)
-        batch["cond_frames"] = image + append_dims(cond_aug, image.ndim).astype(
-            image.dtype
-        ) * noise
+        batch["cond_frames"] = _noise_aug(
+            image, r_noise, append_dims(cond_aug, image.ndim).astype(image.dtype)
+        )
 
         if "image_only_indicator" not in batch:
             batch["image_only_indicator"] = jnp.zeros((n, self.num_samples))
@@ -686,10 +693,10 @@ class VideoLDMStage2(VideoLDM):
         # noise augmentation applies at BOTH train and inference
         # (reference vtdm_gen_stage2_degradeImage.py:76-81)
         aug = jnp.repeat(cond_aug, self.num_samples, axis=0)
-        noise = jax.random.normal(r_noise, cond_frames.shape, cond_frames.dtype)
-        batch["cond_frames"] = cond_frames + append_dims(
-            aug, cond_frames.ndim
-        ).astype(cond_frames.dtype) * noise
+        batch["cond_frames"] = _noise_aug(
+            cond_frames, r_noise,
+            append_dims(aug, cond_frames.ndim).astype(cond_frames.dtype),
+        )
         batch["cond_aug"] = cond_aug
         if "image_only_indicator" not in batch:
             batch["image_only_indicator"] = jnp.zeros((n, self.num_samples))

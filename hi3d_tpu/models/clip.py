@@ -78,7 +78,10 @@ def _aa_bicubic_weights(n_in: int, n_out: int, align_corners: bool = True):
 
 @functools.lru_cache(maxsize=32)
 def _aa_weights_cached(n_in: int, n_out: int):
-    return jnp.asarray(_aa_bicubic_weights(n_in, n_out))
+    # cache the NUMPY matrix, not a jnp array: jnp.asarray inside a jit
+    # trace yields a tracer, and caching that leaks it into later traces
+    # (UnexpectedTracerError when a second batch shape retraces the tower)
+    return _aa_bicubic_weights(n_in, n_out)
 
 
 def resize_bicubic(x: jax.Array, hw) -> jax.Array:

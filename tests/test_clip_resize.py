@@ -64,3 +64,23 @@ def test_downstream_embedding_delta_is_bounded():
     got = clip_normalize(resize_bicubic(jnp.asarray(x), (224, 224)))
     delta = np.abs(np.asarray(ref) - np.asarray(got)).max()
     assert delta < 1e-4, f"normalized-input delta {delta:.2e}"
+
+
+def test_resize_weights_not_leaked_across_traces():
+    """The cached bicubic weight matrices must not be trace-local: caching a
+    jnp constant created inside one jit leaks a tracer into the next trace
+    (hit by serving when a second batch size retraced the CLIP tower)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hi3d_tpu.models.clip import _aa_weights_cached, resize_bicubic
+
+    _aa_weights_cached.cache_clear()
+    a = jax.jit(lambda x: resize_bicubic(x, (16, 16)))(
+        jnp.ones((2, 32, 32, 3))
+    )
+    # a different jit with the same (n_in, n_out) key reuses the cache entry
+    b = jax.jit(lambda x: resize_bicubic(x, (16, 16)))(
+        jnp.ones((1, 32, 32, 3))
+    )
+    assert a.shape == (2, 16, 16, 3) and b.shape == (1, 16, 16, 3)

@@ -80,11 +80,13 @@ def main() -> None:
         images = _demo_images(b, args.res)
         rng = jax.random.PRNGKey(0)
         t0 = time.time()
-        server.generate(images, rng=rng)  # compile + warm
+        server.generate(images, rng=rng, output_dtype="uint8")  # compile+warm
         warm = time.time() - t0
         t0 = time.time()
         for i in range(args.reps):
-            server.generate(images, rng=jax.random.fold_in(rng, i))
+            # production export path: uint8 frames off-device
+            server.generate(images, rng=jax.random.fold_in(rng, i),
+                            output_dtype="uint8")
         dt = (time.time() - t0) / args.reps
         print(json.dumps({
             "metric": f"stage1_serve_assets_per_min_chip_b{b}",
