@@ -33,14 +33,12 @@ import time
 import jax
 import jax.numpy as jnp
 
-# persistent compile cache: the three bench graphs take minutes to build
-# through the TPU tunnel's AOT helper; caching them on disk lets a warm
-# rerun (the driver's) finish all metrics inside its 590 s budget
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("HI3D_XLA_CACHE", os.path.expanduser("~/.cache/hi3d_xla")),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compile cache: owned by hi3d_tpu/__init__.py (imported by every
+# builder below) — dir ~/.cache/hi3d_tpu_xla, min-compile-time 5 s, which the
+# minutes-long bench graphs all clear. Do NOT configure a second cache here:
+# the package import would override it anyway (measured in round 2 — a
+# bench-local cache dir stayed empty across full runs while the package cache
+# collected every graph).
 
 REF_A100_EST_STEPS_PER_SEC = 0.83  # ≈1.2 s/step on A100-80G fp16 — ESTIMATE
 

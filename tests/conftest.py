@@ -10,6 +10,13 @@ test paths round-trips the TPU tunnel at ~6 ms/op.
 
 import os
 
+# hi3d_tpu/__init__.py installs its own compilation-cache config on import
+# (dir ~/.cache/hi3d_tpu_xla, min-compile-time 5 s — tuned for the minutes-long
+# TPU UNet compiles). That would silently override the aggressive CPU-test
+# cache below, and a 5 s threshold skips nearly every CPU test compile.
+# Opting out here keeps this conftest the owner of the cache config.
+os.environ["HI3D_COMP_CACHE"] = "0"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
