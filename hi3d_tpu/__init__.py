@@ -18,18 +18,13 @@ import os as _os
 
 # persistent XLA compilation cache: the 320-channel UNet programs take
 # minutes to compile; caching them across processes turns pipeline cold
-# starts into warm starts. Opt out with HI3D_COMP_CACHE=0.
+# starts into warm starts. Opt out with HI3D_COMP_CACHE=0; the config logic
+# lives in ONE place (utils.misc.enable_persistent_compilation_cache) so the
+# package import, CLIs, and bench tools can't fight over the cache settings.
 if _os.environ.get("HI3D_COMP_CACHE", "1") != "0":
-    import jax as _jax
+    from .utils.misc import enable_persistent_compilation_cache as _epcc
 
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get(
-            "HI3D_COMP_CACHE_DIR",
-            _os.path.join(_os.path.expanduser("~"), ".cache", "hi3d_tpu_xla"),
-        ),
-    )
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    _epcc()
 
 from .config import (  # noqa: F401
     apply_dotlist,

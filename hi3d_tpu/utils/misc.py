@@ -112,18 +112,24 @@ class PhaseTimer:
 
 
 def enable_persistent_compilation_cache() -> None:
-    """Point JAX's persistent compile cache at HI3D_XLA_CACHE (default
-    ~/.cache/hi3d_xla). The big pipeline graphs take minutes to build through
-    the TPU tunnel's AOT helper; on-disk caching makes any repeat run (same
-    shapes) start in seconds. Set HI3D_XLA_CACHE="" to disable."""
+    """Apply the package-owned persistent-compile-cache config.
+
+    Single owner for the whole repo (package import, CLIs, bench tools all
+    route here): dir = HI3D_COMP_CACHE_DIR (default ~/.cache/hi3d_tpu_xla),
+    min-compile-time 5 s (tuned for the minutes-long TPU UNet compiles —
+    sub-second CPU compiles aren't worth disk entries). HI3D_COMP_CACHE=0
+    disables entirely, including when called after import (so the test
+    conftest stays the owner of its own aggressive CPU cache). Idempotent.
+    """
     import os
 
     import jax
 
-    path = os.environ.get(
-        "HI3D_XLA_CACHE", os.path.expanduser("~/.cache/hi3d_xla")
-    )
-    if not path:
+    if os.environ.get("HI3D_COMP_CACHE", "1") == "0":
         return
+    path = os.environ.get(
+        "HI3D_COMP_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "hi3d_tpu_xla"),
+    )
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -10,11 +10,13 @@ test paths round-trips the TPU tunnel at ~6 ms/op.
 
 import os
 
-# hi3d_tpu/__init__.py installs its own compilation-cache config on import
-# (dir ~/.cache/hi3d_tpu_xla, min-compile-time 5 s — tuned for the minutes-long
-# TPU UNet compiles). That would silently override the aggressive CPU-test
-# cache below, and a 5 s threshold skips nearly every CPU test compile.
-# Opting out here keeps this conftest the owner of the cache config.
+# hi3d_tpu installs its own compilation-cache config (dir ~/.cache/hi3d_tpu_xla,
+# min-compile-time 5 s — tuned for the minutes-long TPU UNet compiles) both on
+# package import and whenever a CLI/create_model path calls
+# enable_persistent_compilation_cache(). Either would silently override the
+# aggressive CPU-test cache below, and a 5 s threshold skips nearly every CPU
+# test compile. HI3D_COMP_CACHE=0 gates ALL package writers (the helper
+# respects it too), keeping this conftest the single owner of the cache config.
 os.environ["HI3D_COMP_CACHE"] = "0"
 
 flags = os.environ.get("XLA_FLAGS", "")

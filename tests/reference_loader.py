@@ -86,6 +86,20 @@ def make_reference_unet(**overrides):
     return VideoUNet(**cfg), cfg
 
 
+def load_reference_midas(backbone_factory):
+    """Import the reference's vendored DPT (annotator/midas) with a stubbed
+    `timm` whose create_model returns `backbone_factory(name)` — timm is not
+    installed; the test supplies a layout-compatible vit_base_resnet50_384.
+    Returns the annotator.midas.dpt_depth module."""
+    t = _stub("timm")
+    t.create_model = lambda name, pretrained=False, **kw: backbone_factory(name)
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import annotator.midas.dpt_depth as dd
+
+    return dd
+
+
 def make_reference_unet2d(**overrides):
     """Reference 2-D UNetModel (openaimodel.py:472-853) at a toy config."""
     load_reference()

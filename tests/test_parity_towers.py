@@ -1,0 +1,396 @@
+"""Torch-forward parity for the three REAL conditioning towers.
+
+Closes the round-2 verification gap: conversion bijection + resize math +
+block tests existed, but no test ran a real torch ViT-H/ViT-L/DPT forward
+against the flax towers — a silently permuted attention head or mis-mapped
+LayerNorm in convert/torch_to_jax.py would only surface on real-checkpoint
+day.
+
+Oracles:
+- CLIP ViT-H/14 + ViT-L/14: HuggingFace `transformers`
+  CLIPVisionModelWithProjection — an independent, battle-tested torch
+  implementation of the exact pre-LN CLIP vision architecture the reference
+  loads via open_clip / clip.load (reference
+  sgm/modules/encoders/modules.py:570-728 → model.visual;
+  vtdm/encoders.py:56-91 → aesthetic_model.encode_image). Its
+  randomly-initialized state dict is renamed to the open_clip `visual.*`
+  layout (the released-checkpoint layout — the rename is the standard
+  HF↔open_clip key correspondence) and pushed through the SAME converter the
+  real checkpoints will use (convert_clip_visual_key), so this exercises the
+  production load path end to end.
+- DPT-hybrid: the reference's own vendored decode head + hook wiring
+  (annotator/midas/dpt_depth.py:21-106, vit.py:357-495) run on CPU. The timm
+  `vit_base_resnet50_384` backbone it wraps is reconstructed here following
+  timm's semantics (timm is not installed): StdConv2dSame (weight
+  standardization, eps 1e-6), GroupNormAct(32, eps 1e-5), post-activation
+  ResNetV2 bottlenecks, ViT-B blocks with eps-1e-6 LayerNorms. Its state-dict
+  names match the released dpt_hybrid_384.pt inventory byte-for-byte
+  (tests/test_convert_dpt.py), so the load path equals the real-checkpoint
+  path (convert_dpt_key).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from tests.reference_loader import load_reference_midas
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from hi3d_tpu.convert.torch_to_jax import (  # noqa: E402
+    convert_dpt_key,
+    convert_clip_visual_key,
+    convert_state_dict,
+)
+from hi3d_tpu.models.clip import CLIPVisionTransformer, vit_h_14, vit_l_14  # noqa: E402
+from hi3d_tpu.models import dpt as flax_dpt  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# CLIP towers (HF oracle)
+# ---------------------------------------------------------------------------
+
+
+def _hf_clip_vision(width, layers, heads, proj_dim, quick_gelu, image_size=224):
+    from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection
+
+    cfg = CLIPVisionConfig(
+        hidden_size=width,
+        intermediate_size=4 * width,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        image_size=image_size,
+        patch_size=14,
+        projection_dim=proj_dim,
+        hidden_act="quick_gelu" if quick_gelu else "gelu",
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = CLIPVisionModelWithProjection(cfg).eval()
+    # HF inits attention/MLP weights with tiny per-depth-scaled stds; bump the
+    # norm affines off identity so a scale↔bias swap can't pass silently
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(1)
+        for name, p in model.named_parameters():
+            if "layernorm" in name.lower() or "layer_norm" in name:
+                if name.endswith("weight"):
+                    p.add_(0.2 * torch.randn(p.shape, generator=g))
+                else:
+                    p.copy_(0.2 * torch.randn(p.shape, generator=g))
+    return model
+
+
+def _hf_sd_to_open_clip(model):
+    """HF CLIPVisionModelWithProjection state dict → open_clip `visual.*`."""
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    P = "vision_model."
+    out = {
+        "visual.class_embedding": sd[P + "embeddings.class_embedding"],
+        "visual.positional_embedding": sd[P + "embeddings.position_embedding.weight"],
+        "visual.conv1.weight": sd[P + "embeddings.patch_embedding.weight"],
+        "visual.ln_pre.weight": sd[P + "pre_layrnorm.weight"],
+        "visual.ln_pre.bias": sd[P + "pre_layrnorm.bias"],
+        "visual.ln_post.weight": sd[P + "post_layernorm.weight"],
+        "visual.ln_post.bias": sd[P + "post_layernorm.bias"],
+        "visual.proj": sd["visual_projection.weight"].T,
+    }
+    i = 0
+    while f"{P}encoder.layers.{i}.layer_norm1.weight" in sd:
+        src = f"{P}encoder.layers.{i}."
+        dst = f"visual.transformer.resblocks.{i}."
+        out[dst + "ln_1.weight"] = sd[src + "layer_norm1.weight"]
+        out[dst + "ln_1.bias"] = sd[src + "layer_norm1.bias"]
+        out[dst + "ln_2.weight"] = sd[src + "layer_norm2.weight"]
+        out[dst + "ln_2.bias"] = sd[src + "layer_norm2.bias"]
+        out[dst + "attn.in_proj_weight"] = np.concatenate(
+            [sd[src + f"self_attn.{n}_proj.weight"] for n in "qkv"], axis=0
+        )
+        out[dst + "attn.in_proj_bias"] = np.concatenate(
+            [sd[src + f"self_attn.{n}_proj.bias"] for n in "qkv"], axis=0
+        )
+        out[dst + "attn.out_proj.weight"] = sd[src + "self_attn.out_proj.weight"]
+        out[dst + "attn.out_proj.bias"] = sd[src + "self_attn.out_proj.bias"]
+        out[dst + "mlp.c_fc.weight"] = sd[src + "mlp.fc1.weight"]
+        out[dst + "mlp.c_fc.bias"] = sd[src + "mlp.fc1.bias"]
+        out[dst + "mlp.c_proj.weight"] = sd[src + "mlp.fc2.weight"]
+        out[dst + "mlp.c_proj.bias"] = sd[src + "mlp.fc2.bias"]
+        i += 1
+    return out
+
+
+def _assert_clip_tower_matches(flax_tower, hf_model, batch=2, image_size=224,
+                               tol=2e-4):
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal((batch, image_size, image_size, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf_model(torch.from_numpy(x.transpose(0, 3, 1, 2))).image_embeds.numpy()
+
+    params = convert_state_dict(_hf_sd_to_open_clip(hf_model), convert_clip_visual_key)
+    got = np.asarray(flax_tower.apply(params, jnp.asarray(x)))
+
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert scale > 1e-3, "degenerate oracle output — test would be vacuous"
+    err = np.abs(got - ref).max() / scale
+    assert err < tol, f"CLIP tower mismatch: rel-max err {err:.2e} (tol {tol})"
+
+
+def test_clip_tower_matches_torch_small():
+    """Fast smoke at toy width — converter key path + math, CI subset."""
+    hf = _hf_clip_vision(width=64, layers=3, heads=4, proj_dim=48, quick_gelu=True,
+                         image_size=28)
+    tower = CLIPVisionTransformer(
+        width=64, layers=3, heads=4, patch_size=14, image_size=28, output_dim=48,
+        quick_gelu=True,
+    )
+    _assert_clip_tower_matches(tower, hf, image_size=28)
+
+
+@pytest.mark.slow
+def test_clip_vit_l14_matches_torch():
+    """Real AesEmbedder tower: OpenAI CLIP ViT-L/14 (QuickGELU), proj → 768.
+
+    Parity spec: reference vtdm/encoders.py:77-91 (aesthetic_model
+    .encode_image = visual tower pooled+projected embedding)."""
+    hf = _hf_clip_vision(width=1024, layers=24, heads=16, proj_dim=768,
+                         quick_gelu=True)
+    _assert_clip_tower_matches(vit_l_14(), hf, batch=1, tol=5e-4)
+
+
+@pytest.mark.slow
+def test_clip_vit_h14_matches_torch():
+    """Real FrozenOpenCLIPImageEmbedder tower: OpenCLIP ViT-H/14, proj → 1024.
+
+    Parity spec: reference sgm/modules/encoders/modules.py:570-728
+    (model.visual of open_clip ViT-H-14; exact GELU)."""
+    hf = _hf_clip_vision(width=1280, layers=32, heads=16, proj_dim=1024,
+                         quick_gelu=False)
+    _assert_clip_tower_matches(vit_h_14(), hf, batch=1, tol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# DPT-hybrid (reference decode head + reconstructed timm backbone)
+# ---------------------------------------------------------------------------
+
+
+class _StdConv2dSame(torch.nn.Conv2d):
+    """timm StdConv2dSame: TF-SAME padding + weight standardization (eps 1e-6)."""
+
+    def forward(self, x):
+        ih, iw = x.shape[-2:]
+        kh, kw = self.kernel_size
+        sh, sw = self.stride
+        ph = max((math.ceil(ih / sh) - 1) * sh + kh - ih, 0)
+        pw = max((math.ceil(iw / sw) - 1) * sw + kw - iw, 0)
+        x = torch.nn.functional.pad(
+            x, [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2]
+        )
+        var, mean = torch.var_mean(
+            self.weight, dim=[1, 2, 3], keepdim=True, unbiased=False
+        )
+        w = (self.weight - mean) / torch.sqrt(var + 1e-6)
+        return torch.nn.functional.conv2d(x, w, self.bias, self.stride, 0)
+
+
+class _GroupNormAct(torch.nn.GroupNorm):
+    """timm GroupNormAct: GN(32, eps 1e-5) + optional inline ReLU."""
+
+    def __init__(self, ch, apply_act=True):
+        super().__init__(32, ch, eps=1e-5)
+        self.apply_act = apply_act
+
+    def forward(self, x):
+        x = super().forward(x)
+        return torch.nn.functional.relu(x) if self.apply_act else x
+
+
+class _MaxPoolSame(torch.nn.Module):
+    def forward(self, x):
+        ih, iw = x.shape[-2:]
+        ph = max((math.ceil(ih / 2) - 1) * 2 + 3 - ih, 0)
+        pw = max((math.ceil(iw / 2) - 1) * 2 + 3 - iw, 0)
+        x = torch.nn.functional.pad(
+            x, [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2], value=float("-inf")
+        )
+        return torch.nn.functional.max_pool2d(x, 3, 2)
+
+
+class _Stem(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv = _StdConv2dSame(3, 64, 7, stride=2, bias=False)
+        self.norm = _GroupNormAct(64)
+        self.pool = _MaxPoolSame()
+
+    def forward(self, x):
+        return self.pool(self.norm(self.conv(x)))
+
+
+class _Downsample(torch.nn.Module):
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        self.conv = _StdConv2dSame(cin, cout, 1, stride=stride, bias=False)
+        self.norm = _GroupNormAct(cout, apply_act=False)
+
+    def forward(self, x):
+        return self.norm(self.conv(x))
+
+
+class _Bottleneck(torch.nn.Module):
+    """timm ResNetV2 post-activation bottleneck (the vit_base_resnet50_384
+    variant): conv→GN-ReLU ×2, conv→GN, ReLU(out + shortcut)."""
+
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        mid = cout // 4
+        self.downsample = (
+            _Downsample(cin, cout, stride) if (cin != cout or stride != 1) else None
+        )
+        self.conv1 = _StdConv2dSame(cin, mid, 1, bias=False)
+        self.norm1 = _GroupNormAct(mid)
+        self.conv2 = _StdConv2dSame(mid, mid, 3, stride=stride, bias=False)
+        self.norm2 = _GroupNormAct(mid)
+        self.conv3 = _StdConv2dSame(mid, cout, 1, bias=False)
+        self.norm3 = _GroupNormAct(cout, apply_act=False)
+
+    def forward(self, x):
+        sc = self.downsample(x) if self.downsample is not None else x
+        h = self.norm1(self.conv1(x))
+        h = self.norm2(self.conv2(h))
+        h = self.norm3(self.conv3(h))
+        return torch.nn.functional.relu(h + sc)
+
+
+class _Stage(torch.nn.Module):
+    def __init__(self, cin, cout, blocks, stride):
+        super().__init__()
+        self.blocks = torch.nn.Sequential(
+            *[
+                _Bottleneck(cin if i == 0 else cout, cout, stride if i == 0 else 1)
+                for i in range(blocks)
+            ]
+        )
+
+    def forward(self, x):
+        return self.blocks(x)
+
+
+class _ResNetV2(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.stem = _Stem()
+        self.stages = torch.nn.Sequential(
+            _Stage(64, 256, 3, 1), _Stage(256, 512, 4, 2), _Stage(512, 1024, 9, 2)
+        )
+
+    def forward(self, x):
+        return self.stages(self.stem(x))
+
+
+class _PatchEmbed(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.backbone = _ResNetV2()
+        self.proj = torch.nn.Conv2d(1024, 768, 1)
+
+
+class _Attn(torch.nn.Module):
+    def __init__(self, width=768, heads=12):
+        super().__init__()
+        self.heads = heads
+        self.qkv = torch.nn.Linear(width, 3 * width)
+        self.proj = torch.nn.Linear(width, width)
+
+    def forward(self, x):
+        b, s, c = x.shape
+        d = c // self.heads
+        q, k, v = self.qkv(x).reshape(b, s, 3, self.heads, d).permute(
+            2, 0, 3, 1, 4
+        )
+        att = torch.softmax(q @ k.transpose(-2, -1) * d**-0.5, dim=-1)
+        out = (att @ v).transpose(1, 2).reshape(b, s, c)
+        return self.proj(out)
+
+
+class _Mlp(torch.nn.Module):
+    def __init__(self, width=768):
+        super().__init__()
+        self.fc1 = torch.nn.Linear(width, 4 * width)
+        self.fc2 = torch.nn.Linear(4 * width, width)
+
+    def forward(self, x):
+        return self.fc2(torch.nn.functional.gelu(self.fc1(x)))
+
+
+class _ViTBlock(torch.nn.Module):
+    def __init__(self, width=768, heads=12):
+        super().__init__()
+        self.norm1 = torch.nn.LayerNorm(width, eps=1e-6)
+        self.attn = _Attn(width, heads)
+        self.norm2 = torch.nn.LayerNorm(width, eps=1e-6)
+        self.mlp = _Mlp(width)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class _TimmHybridViT(torch.nn.Module):
+    """Minimal timm `vit_base_resnet50_384` replica: the attribute layout and
+    state-dict names forward_flex / _make_vit_b_rn50_backbone expect
+    (reference annotator/midas/vit.py:124-162,357-495)."""
+
+    def __init__(self):
+        super().__init__()
+        self.patch_embed = _PatchEmbed()
+        self.cls_token = torch.nn.Parameter(torch.zeros(1, 1, 768))
+        self.pos_embed = torch.nn.Parameter(torch.zeros(1, 577, 768))
+        self.pos_drop = torch.nn.Dropout(0.0)
+        self.blocks = torch.nn.ModuleList([_ViTBlock() for _ in range(12)])
+        self.norm = torch.nn.LayerNorm(768, eps=1e-6)
+        torch.nn.init.normal_(self.cls_token, std=0.02)
+        torch.nn.init.normal_(self.pos_embed, std=0.02)
+
+
+@pytest.mark.slow
+def test_dpt_hybrid_matches_reference_torch():
+    """Full-tower DPT parity: reference DPTDepthModel (vendored decode head +
+    hook wiring, reconstructed timm backbone) vs hi3d_tpu.models.dpt on a
+    384² input — the exact shape the stage-2 DepthEmbedder uses
+    (reference vtdm/encoders.py:15-53: 1024/2.6666 → 384, multiple of 32)."""
+    torch.manual_seed(0)
+    dd = load_reference_midas(lambda name: _TimmHybridViT())
+    ref_model = dd.DPTDepthModel(path=None, backbone="vitb_rn50_384",
+                                 non_negative=True).eval()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(2)
+        for name, p in ref_model.named_parameters():
+            low = name.lower()
+            if ("norm" in low or "layernorm" in low) and p.ndim == 1:
+                # GN/LN affines off identity (catch scale↔bias swaps)
+                if name.endswith("weight"):
+                    p.copy_(1.0 + 0.2 * torch.randn(p.shape, generator=g))
+                else:
+                    p.copy_(0.2 * torch.randn(p.shape, generator=g))
+        # make the final ReLU'd head produce a rich non-zero map
+        head_bias = ref_model.scratch.output_conv[4].bias
+        head_bias.copy_(0.05 + 0.02 * torch.randn(head_bias.shape, generator=g))
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1.0, 1.0, (1, 384, 384, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = ref_model(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    params = convert_state_dict(sd, convert_dpt_key)
+    got = np.asarray(flax_dpt.DPTDepthModel().apply(params, jnp.asarray(x)))
+
+    assert got.shape == ref.shape == (1, 384, 384)
+    scale = np.abs(ref).max()
+    assert scale > 1e-3 and ref.std() > 1e-4, "degenerate oracle — vacuous test"
+    err = np.abs(got - ref).max() / scale
+    assert err < 1e-3, f"DPT tower mismatch: rel-max err {err:.2e}"

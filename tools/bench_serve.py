@@ -55,13 +55,7 @@ def main() -> None:
                         "CPU smoke runs")
     args = p.parse_args()
 
-    import jax
-
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("HI3D_XLA_CACHE", os.path.expanduser("~/.cache/hi3d_xla")),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax  # compile-cache config is owned by the hi3d_tpu package import
 
     from hi3d_tpu.parallel.mesh import make_mesh
     from hi3d_tpu.pipelines.common import create_model

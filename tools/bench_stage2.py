@@ -17,11 +17,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("HI3D_XLA_CACHE", os.path.expanduser("~/.cache/hi3d_xla")),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# compile-cache config is owned by the hi3d_tpu package import (HI3D_COMP_CACHE knobs)
 
 T, H, W = 16, 128, 128
 STEPS = 4
