@@ -52,6 +52,12 @@ class StandardDiffusionLoss:
             batch2model_keys = [batch2model_keys]
         self.batch2model_keys = set(batch2model_keys)
         self.num_frames = int(num_frames)
+        # parity-test hooks (tests/test_parity_training.py): pin the two
+        # stochastic draws so the torch reference loss sees identical inputs.
+        # None (default) = production path. Same pattern as
+        # engine.sample(randn=...) / generate_orbit(batch_overrides=...).
+        self.parity_sigmas = None  # (B,) per-video σ, pre-repeat
+        self.parity_noise = None   # input-shaped ε
 
     def __call__(
         self,
@@ -69,10 +75,16 @@ class StandardDiffusionLoss:
         rng_sigma, rng_noise, rng_offset = jax.random.split(rng, 3)
 
         b = input.shape[0] // self.num_frames
-        sigmas = self.sigma_sampler(rng_sigma, b)
+        if self.parity_sigmas is not None:
+            sigmas = jnp.asarray(self.parity_sigmas, dtype=jnp.float32)
+        else:
+            sigmas = self.sigma_sampler(rng_sigma, b)
         sigmas = jnp.repeat(sigmas, self.num_frames, axis=0)  # one σ per video
 
-        noise = jax.random.normal(rng_noise, input.shape, dtype=input.dtype)
+        if self.parity_noise is not None:
+            noise = jnp.asarray(self.parity_noise, dtype=input.dtype)
+        else:
+            noise = jax.random.normal(rng_noise, input.shape, dtype=input.dtype)
         if self.offset_noise_level > 0.0:
             offset = jax.random.normal(
                 rng_offset, (input.shape[0],), dtype=input.dtype

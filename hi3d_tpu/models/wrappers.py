@@ -20,7 +20,14 @@ class IdentityWrapper:
 
     def bind(self, params, **static_kwargs) -> Callable:
         def network(x, c_noise, cond, **extra):
-            return self.module.apply(params, x, c_noise, **static_kwargs, **extra)
+            # bound statics win on duplicates: the loss's batch2model_keys
+            # (train-v01.yaml:143) forwards num_video_frames /
+            # image_only_indicator that make_loss_fn also pre-binds with the
+            # same values. The duplicates must not TypeError, and under jit
+            # the batch-forwarded num_video_frames is a TRACED int — only the
+            # bound static Python value can drive the UNet's shape logic.
+            kw = {**extra, **static_kwargs}
+            return self.module.apply(params, x, c_noise, **kw)
 
         return network
 
@@ -36,14 +43,14 @@ class ConcatConditionWrapper(IdentityWrapper):
                 x = jnp.concatenate(
                     [x, cond["concat"].astype(x.dtype)], axis=-1
                 )
+            kw = {**extra, **static_kwargs}  # bound statics win (see above)
             return module.apply(
                 params,
                 x,
                 c_noise,
                 context=cond.get("crossattn"),
                 y=cond.get("vector"),
-                **static_kwargs,
-                **extra,
+                **kw,
             )
 
         return network

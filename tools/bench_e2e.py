@@ -65,9 +65,17 @@ def bench_stage1(res: int, t: int, encoder_reuse: int = 0,
     from hi3d_tpu.pipelines.common import create_model
     from hi3d_tpu.pipelines.i2v import generate_orbit
 
+    t0 = time.time()
     model, _ = create_model("configs/inference-v01.yaml")
+    t_build = time.time() - t0
+    t0 = time.time()
     model.init(latent_hw=(res // 8, res // 8), num_frames=2)
+    t_init = time.time() - t0
+    t0 = time.time()
     model.cast_weights_to_compute_dtype()
+    t_cast = time.time() - t0
+    print(f"[phases:stage1-setup] build {t_build:.1f}s, init {t_init:.1f}s, "
+          f"cast {t_cast:.1f}s", flush=True)
     model.num_samples = t
     frames = _demo_frames(t, res)
 
@@ -115,9 +123,17 @@ def bench_stage2(res: int, t: int, encoder_reuse: int = 0,
     from hi3d_tpu.pipelines.v2v import blend_refine
     from hi3d_tpu.utils.image import foreground_mask_from_white
 
+    t0 = time.time()
     model, _ = create_model("configs/inference-v02.yaml")
+    t_build = time.time() - t0
+    t0 = time.time()
     model.init(latent_hw=(res // 8, res // 8), num_frames=2)
+    t_init = time.time() - t0
+    t0 = time.time()
     model.cast_weights_to_compute_dtype()
+    t_cast = time.time() - t0
+    print(f"[phases:stage2-setup] build {t_build:.1f}s, init {t_init:.1f}s, "
+          f"cast {t_cast:.1f}s", flush=True)
     model.num_samples = t
     frames = _demo_frames(t, res)
     masks = np.stack([
