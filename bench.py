@@ -9,7 +9,11 @@ Metrics (each = measured steps/sec/chip + MFU from XLA cost-analysis FLOPs
 2. stage-2 denoise step — same at 1024² (128×128 latent, 17 input channels,
    adm 512; reference configs/train-v02.yaml:35-38) — the end-to-end
    bottleneck (≈60 s of the ~83 s stage-2 marginal per asset).
-3. train step — stage-1 512²/16f/bs1 SVD-adaptation fine-tune (loss → grads
+3. e2e per-asset marginals — the NORTH-STAR numbers: one warm full-pipeline
+   stage-1 (512²) and stage-2 (1024²) asset through the CLI-default exact
+   uint8 path (`e2e_sec_per_asset_stage{1,2}` in `extra`); budget-aware step
+   reduction with a 25-step projection from the measured step rate.
+4. train step — stage-1 512²/16f/bs1 SVD-adaptation fine-tune (loss → grads
    → AdamW → no EMA), remat, frozen-subset parity (inference-v01.yaml:9-13).
 
 Weights bf16, σ-math fp32, matching production inference.
@@ -239,6 +243,110 @@ def _bench_train(peak, scale=1.0, t=T, hw=STAGE1_HW):
     )
 
 
+def _demo_frames(t: int, res: int):
+    """Shaded-sphere frames (T, res, res, 3) in [-1, 1] (as tools/bench_e2e)."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:res, 0:res].astype(np.float32)
+    r = res * 0.35
+    d2 = (yy - res / 2.0) ** 2 + (xx - res / 2.0) ** 2
+    shade = np.clip(1.0 - np.sqrt(d2) / r, 0.0, 1.0)
+    img = np.ones((res, res, 3), np.float32)
+    for c, tint in enumerate((0.9, 0.6, 0.3)):
+        img[..., c] = np.where(d2 < r * r, shade * tint + 0.1, 1.0)
+    return np.repeat((img * 2.0 - 1.0)[None], t, axis=0)
+
+
+def _bench_e2e_stage(stage: int, step_sec: float | None):
+    """One warm per-asset marginal of a full inference stage — the product
+    number (<60 s/asset two-stage on v5e-8 is the north star; reference CLIs
+    pipeline_i2v_eval_v01/_v02.py are the capability being timed).
+
+    Runs the real pipeline (towers → 25-step sampling → VAE decode → uint8
+    download, the CLI-default exact path) twice in-process: the first run
+    pays any residual trace/compile, the second is the steady-state marginal.
+    HI3D_ZERO_INIT skips init compute — kernel timing is weight-independent.
+    If the remaining budget cannot fund 25 sampler steps, the step count is
+    reduced and a 25-step projection is derived from the separately measured
+    denoise-step rate (`step_sec`)."""
+    import contextlib
+    import gc
+    import sys
+
+    os.environ["HI3D_ZERO_INIT"] = "1"
+    try:
+        from hi3d_tpu.pipelines.common import create_model
+
+        cfg = f"configs/inference-v0{stage}.yaml"
+        # model construction prints embedder notices — keep stdout to the
+        # single-JSON-line contract by routing them to stderr
+        with contextlib.redirect_stdout(sys.stderr):
+            model, _ = create_model(cfg)
+            model.init(latent_hw=(32, 32), num_frames=2)
+            model.cast_weights_to_compute_dtype()
+        model.num_samples = T
+    finally:
+        os.environ.pop("HI3D_ZERO_INIT", None)
+
+    res = 512 if stage == 1 else 1024
+    full_steps = model.sampler.num_steps or 25
+    # budget: 2 runs × (steps × step_sec + ~12 s tail) + cold trace slack
+    steps = full_steps
+    if step_sec:
+        while steps > 5 and _remaining() < 2 * (steps * step_sec + 12) + 60:
+            steps -= 5
+    if steps != full_steps:
+        model.sampler.num_steps = steps
+
+    frames = _demo_frames(T, res)
+    if stage == 1:
+        from hi3d_tpu.pipelines.i2v import generate_orbit
+
+        def run(seed):
+            return generate_orbit(
+                model, frames, elevation=0.0, rng=jax.random.PRNGKey(seed),
+                output_dtype="uint8",
+            )
+    else:
+        import numpy as np
+
+        from hi3d_tpu.pipelines.v2v import blend_refine
+        from hi3d_tpu.utils.image import foreground_mask_from_white
+
+        masks = np.stack([
+            foreground_mask_from_white(((f + 1.0) * 127.5).astype(np.uint8))
+            for f in frames
+        ])
+
+        def run(seed):
+            return blend_refine(
+                model, frames, masks, rng=jax.random.PRNGKey(seed),
+                output_dtype="uint8",
+            )
+
+    t0 = time.perf_counter()
+    run(0)
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(1)
+    marginal = time.perf_counter() - t0
+    del model
+    gc.collect()
+
+    out = {
+        "metric": f"e2e_sec_per_asset_stage{stage}",
+        "value": round(marginal, 2),
+        "unit": "sec/asset",
+        "cold_s": round(cold, 1),
+        "num_steps": steps,
+    }
+    if steps != full_steps and step_sec:
+        out["projected_25step_s"] = round(
+            marginal + (full_steps - steps) * step_sec, 2
+        )
+    return out
+
+
 def _backend_reachable(timeout_s: float = 120.0) -> bool:
     """Probe the backend in a subprocess — a dead TPU tunnel makes
     jax.devices() hang forever in-process, which would turn a driver bench
@@ -282,19 +390,38 @@ def main() -> None:
     )
 
     extra = []
+    s2_step = None
     # stage-2 needs compile + 8 measured 2.4 s steps ≈ 60 s warm
     if _remaining() > 150:
         try:
-            extra.append(
-                _bench_denoise(
-                    "unet_denoise_steps_per_sec_chip_stage2_1024",
-                    17, 512, STAGE2_HW, peak,
-                )
+            m = _bench_denoise(
+                "unet_denoise_steps_per_sec_chip_stage2_1024",
+                17, 512, STAGE2_HW, peak,
             )
+            s2_step = m["sec_per_step"]
+            extra.append(m)
         except Exception as e:  # OOM/compile failure must not kill the line
             skipped.append(f"stage2: {type(e).__name__}")
     else:
         skipped.append("stage2: budget")
+
+    # the north-star per-asset marginals (VERDICT r2 #3). Warm program+compile
+    # caches make these mostly device work; budget-gated like everything else.
+    if os.environ.get("HI3D_BENCH_E2E", "1") != "0" and _remaining() > 120:
+        try:
+            extra.append(_bench_e2e_stage(1, primary["sec_per_step"]))
+        except Exception as e:
+            skipped.append(f"e2e_stage1: {type(e).__name__}")
+    else:
+        skipped.append("e2e_stage1: budget")
+    if os.environ.get("HI3D_BENCH_E2E", "1") != "0" and _remaining() > 160:
+        try:
+            extra.append(_bench_e2e_stage(2, s2_step))
+        except Exception as e:
+            skipped.append(f"e2e_stage2: {type(e).__name__}")
+    else:
+        skipped.append("e2e_stage2: budget")
+
     if _remaining() > 120:
         try:
             extra.append(_bench_train(peak))

@@ -50,7 +50,7 @@ from .models.clip import (
     vit_l_14,
 )
 from .models.layers import timestep_embedding
-from .utils.misc import append_dims
+from .utils.misc import append_dims, module_init
 
 CondDict = Dict[str, jax.Array]
 
@@ -61,10 +61,20 @@ def _jitted(owner, name: str, fn):
     Tower applies (CLIP ViT-H/L, DPT, T5/CLIP text, cond-VAE) were running
     eagerly — thousands of per-op dispatches through the ~6 ms TPU tunnel,
     minutes of wall clock per pipeline run. One jit per tower; retraces only
-    on new input shapes; inlines when already under an outer trace."""
-    from .utils.misc import instance_jit
+    on new input shapes; inlines when already under an outer trace.
 
-    return instance_jit(owner, name, fn)
+    The traced program is also disk-cached (utils/program_cache.py) keyed by
+    the owner's flax module repr(s) — cold processes skip the tower trace."""
+    from .utils.misc import instance_jit
+    from .utils.program_cache import flax_module_key
+
+    mods = [
+        getattr(owner, a)
+        for a in ("module", "model", "clip", "mlp", "encoder_module")
+        if getattr(owner, a, None) is not None
+    ]
+    pk = flax_module_key(*mods) if mods else None
+    return instance_jit(owner, name, fn, program_key=pk)
 
 
 
@@ -263,7 +273,7 @@ class FrozenOpenCLIPImageEmbedder(AbstractEmbedder):
             self.params = load_open_clip_visual(self.version)
         if self.params is None:
             x = jnp.zeros((1, 224, 224, 3))
-            self.params = jax.jit(self.module.init)(rng, x)
+            self.params = module_init(self.module.init, rng, x)
 
     def preprocess(self, x: jax.Array) -> jax.Array:
         x = resize_bicubic(x, (224, 224))
@@ -400,11 +410,11 @@ class AesEmbedder(AbstractEmbedder):
             self.mlp_params = load_aesthetic_mlp(self.mlp_path)
         r1, r2 = jax.random.split(rng)
         if self.clip_params is None:
-            self.clip_params = jax.jit(self.clip.init)(
-                r1, jnp.zeros((1, 224, 224, 3))
+            self.clip_params = module_init(
+                self.clip.init, r1, jnp.zeros((1, 224, 224, 3))
             )
         if self.mlp_params is None:
-            self.mlp_params = jax.jit(self.mlp.init)(r2, jnp.zeros((1, 768)))
+            self.mlp_params = module_init(self.mlp.init, r2, jnp.zeros((1, 768)))
 
     def __call__(self, video, rng=None) -> jax.Array:
         # video: (B, T, H, W, C) in [-1, 1]; middle frame, 224×384 bilinear,
@@ -462,8 +472,8 @@ class DepthEmbedder(AbstractEmbedder):
 
             self.params = load_dpt_params(self.model_path)
         if self.params is None:
-            self.params = jax.jit(self.model.init)(
-                rng, jnp.zeros((1, 384, 384, 3))
+            self.params = module_init(
+                self.model.init, rng, jnp.zeros((1, 384, 384, 3))
             )
 
     def __call__(self, x, rng=None) -> jax.Array:
@@ -681,7 +691,7 @@ class FrozenOpenCLIPEmbedder(AbstractEmbedder):
             self.params = load_open_clip_text(self.version)
         if self.params is None:
             ids = jnp.zeros((1, self.max_length), jnp.int32)
-            self.params = jax.jit(self.module.init)(rng, ids)
+            self.params = module_init(self.module.init, rng, ids)
 
     def _ln_final(self, x: jax.Array) -> jax.Array:
         import flax.linen as nn
@@ -761,7 +771,7 @@ class FrozenCLIPEmbedder(AbstractEmbedder):
             self.params = load_clip_jit_text(self.version)
         if self.params is None:
             ids = jnp.zeros((1, self.max_length), jnp.int32)
-            self.params = jax.jit(self.module.init)(rng, ids)
+            self.params = module_init(self.module.init, rng, ids)
 
     def __call__(self, text, rng=None):
         if isinstance(text, (list, tuple)) and text and isinstance(text[0], str):
@@ -942,7 +952,7 @@ class GaussianEncoder(AbstractEmbedder):
     def init_params(self, rng):
         if self.params is None:
             x = jnp.zeros((1, 32, 32, self._in_ch))
-            self.params = jax.jit(self.module.init)(rng, x)
+            self.params = module_init(self.module.init, rng, x)
 
     def __call__(self, x, rng=None):
         moments = _jitted(self, "enc", self.module.apply)(

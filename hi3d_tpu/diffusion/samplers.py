@@ -127,6 +127,24 @@ class BaseDiffusionSampler:
     def get_sigma_gen(self, num_sigmas: int):
         return range(num_sigmas - 1)
 
+    def _program_key(self) -> str:
+        """Stable identity of everything sampler-side that shapes the traced
+        scan body but is invisible in the runner's argument avals (σ values
+        arrive as arguments; the churn/guider CONFIG does not)."""
+        g = self.guider
+        gkey = (
+            type(g).__name__,
+            sorted(
+                (k, v) for k, v in vars(g).items()
+                if isinstance(v, (int, float, str, bool, tuple))
+            ),
+        )
+        skey = sorted(
+            (k, v) for k, v in vars(self).items()
+            if isinstance(v, (int, float, str, bool, tuple))
+        )
+        return f"{type(self).__name__}|{skey}|{gkey}"
+
 
 class SingleStepDiffusionSampler(BaseDiffusionSampler):
     def euler_step(self, x, d, dt):
@@ -406,7 +424,20 @@ class EDMSampler(SingleStepDiffusionSampler):
                 out, _ = lax.scan(body, x, seg)
                 return out
 
-            return jax.jit(run)
+            # disk-cached traced program: a fresh process deserializes the
+            # exported scan instead of re-tracing the UNet (~3 s vs ~50 s;
+            # utils/program_cache.py). dfn carries its model identity via
+            # .program_key (engine.make_denoiser_fn_p); None disables.
+            from ..utils.program_cache import program_jit
+
+            return program_jit(
+                run,
+                name=f"sampler_{type(self).__name__}_cfg{int(use_cfg)}",
+                extra_key=(
+                    getattr(dfn, "program_key", None),
+                    self._program_key(),
+                ),
+            )
 
         return instance_cache(self, ("runner", dfn, use_cfg), make)
 
@@ -455,7 +486,16 @@ class EDMSampler(SingleStepDiffusionSampler):
                 (x, cache), _ = lax.scan(body, (x, cache), seg)
                 return x, cache
 
-            return jax.jit(run)
+            from ..utils.program_cache import program_jit
+
+            return program_jit(
+                run,
+                name=f"sampler_{type(self).__name__}_encreuse",
+                extra_key=(
+                    getattr(dfn, "program_key", None),
+                    self._program_key(),
+                ),
+            )
 
         return instance_cache(self, ("runner_cached", dfn), make)
 

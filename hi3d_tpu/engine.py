@@ -186,9 +186,12 @@ class DiffusionEngine:
         ctx = jnp.zeros((1, 1, ctx_dim), dtype=self.compute_dtype)
         y = jnp.zeros((1, adm), dtype=self.compute_dtype)
         ind = jnp.zeros((1, t))
-        self.params = jax.jit(
-            functools.partial(self.model.init, num_video_frames=t)
-        )(r_net, x, ts, context=ctx, y=y, image_only_indicator=ind)
+        from .utils.misc import module_init
+
+        self.params = module_init(
+            functools.partial(self.model.init, num_video_frames=t),
+            r_net, x, ts, context=ctx, y=y, image_only_indicator=ind,
+        )
         if getattr(self.first_stage_model, "params", None) is None:
             self.first_stage_model.init(
                 r_vae, image_hw=default(image_hw, (64, 64))
@@ -217,13 +220,18 @@ class DiffusionEngine:
         if dt == jnp.float32:
             return
 
-        def cast(tree):
+        # ONE jitted program per tree: an eager per-leaf astype dispatches
+        # ~2,000 individual device ops through the TPU tunnel (~6 ms each →
+        # measured 43.5 s of the stage-1 cold start); a single jitted
+        # tree-cast is one dispatch and runs at HBM bandwidth
+        @functools.partial(jax.jit, donate_argnums=0)
+        def _cast_tree(tree):
             return jax.tree.map(
-                lambda p: p.astype(dt)
-                if hasattr(p, "dtype") and p.dtype == jnp.float32
-                else p,
-                tree,
+                lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, tree
             )
+
+        def cast(tree):
+            return _cast_tree(tree)
 
         def cast_vae(wrapper):
             # params AND module compute dtype; drop its cached jitted
@@ -314,9 +322,26 @@ class DiffusionEngine:
                 )
                 return self.denoiser(network, x, sigma, cond)
 
+            dfn.program_key = self._denoiser_program_key(key)
             return dfn
 
         return instance_cache(self, ("dfn_p", key), make)
+
+    def _denoiser_program_key(self, num_video_frames: int) -> str:
+        """Identity of the traced denoiser graph for the disk program cache
+        (utils/program_cache.py): full UNet config (flax dataclass repr),
+        wrapper routing, scaling law, frame count."""
+        from .utils.program_cache import flax_module_key
+
+        return "|".join(
+            (
+                flax_module_key(self.model),
+                type(self.wrapper).__name__,
+                type(self.denoiser).__name__,
+                type(self.denoiser.scaling).__name__,
+                f"t={num_video_frames}",
+            )
+        )
 
     def make_denoiser_fn_cached(self, num_video_frames: int):
         """Param-threaded denoiser with UNet encoder-feature caching
@@ -356,6 +381,7 @@ class DiffusionEngine:
                 den = self.denoiser(network, x, sigma, cond)
                 return den, (cell["cache"] if cache is None else cache)
 
+            dfn.program_key = self._denoiser_program_key(key) + "|enc_cache"
             return dfn
 
         return instance_cache(self, ("dfn_cached", key), make)

@@ -74,12 +74,14 @@ class AutoencodingEngine:
             self.params = load_autoencoder_params(ckpt_path)
 
     def init(self, rng: jax.Array, image_hw: Tuple[int, int] = (32, 32)):
+        from ..utils.misc import module_init
+
         r1, r2 = jax.random.split(rng)
         x = jnp.zeros((1, *image_hw, getattr(self.encoder, "in_channels", 3)))
-        enc = self.encoder.init(r1, x)
-        moments = self.encoder.apply(enc, x)
+        enc = module_init(self.encoder.init, r1, x)
+        moments = jax.jit(self.encoder.apply)(enc, x)
         z, _ = self.regularization(moments)
-        dec = self.decoder.init(r2, z)
+        dec = module_init(self.decoder.init, r2, z)
         self.params = {
             "params": {
                 "encoder": enc["params"],

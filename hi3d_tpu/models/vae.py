@@ -328,8 +328,12 @@ class AutoencoderKL:
             self.params = load_autoencoder_params(ckpt_path)
 
     def init(self, rng: jax.Array, image_hw: Tuple[int, int] = (32, 32)):
+        from ..utils.misc import module_init
+
         x = jnp.zeros((1, *image_hw, self.module.ddconfig.get("in_channels", 3)))
-        self.params = self.module.init(rng, x)  # __call__ = encode + decode
+        # jitted (or zero-filled under HI3D_ZERO_INIT) — eager flax init
+        # dispatches the conv graph op-by-op through the TPU tunnel
+        self.params = module_init(self.module.init, rng, x)  # __call__ = encode + decode
         return self.params
 
     def _applier(self, name: str, method):
@@ -343,9 +347,13 @@ class AutoencoderKL:
         import functools
 
         from ..utils.misc import instance_jit
+        from ..utils.program_cache import flax_module_key
 
         return instance_jit(
-            self, name, functools.partial(self.module.apply, method=method)
+            self,
+            name,
+            functools.partial(self.module.apply, method=method),
+            program_key=flax_module_key(self.module),
         )
 
     def encode(

@@ -48,9 +48,26 @@ def load_inference_model(
     import os
 
     h, w = (res, res) if isinstance(res, int) else tuple(res)
-    model, _ = create_model(config_path)
-    model.init(latent_hw=(h // 8, w // 8), num_frames=2)
-    if ckpt_path and os.path.exists(ckpt_path):
+    have_ckpt = bool(ckpt_path) and os.path.exists(ckpt_path)
+    # Cold-start: when a checkpoint will overwrite every weight anyway
+    # (reference CLIs also discard init values), skip the RNG initializers —
+    # eval_shape + one zero-fill program instead (utils.misc.module_init).
+    # Tower weight FILES still take precedence over zeros inside each
+    # embedder's init. Measured: build+init was 96 s + 67 s (stage 1) of the
+    # fresh-process cold start at random init.
+    zero_flag = have_ckpt and "HI3D_ZERO_INIT" not in os.environ
+    if zero_flag:
+        os.environ["HI3D_ZERO_INIT"] = "1"
+    try:
+        model, _ = create_model(config_path)
+        # init shapes only fix parameter STRUCTURE (engine.init docstring) — a
+        # tiny latent keeps the init trace/compile/run small. Initializing at
+        # the real 128² stage-2 latent measured 107.6 s vs ~60 s at 32².
+        model.init(latent_hw=(32, 32), num_frames=2)
+    finally:
+        if zero_flag:
+            os.environ.pop("HI3D_ZERO_INIT", None)
+    if have_ckpt:
         model.init_from_ckpt(ckpt_path)
     else:
         print(f"[{tag}] checkpoint {ckpt_path!r} not found — random weights "

@@ -69,14 +69,16 @@ class ViewScorer:
             self.mlp_params = load_aesthetic_mlp(mlp_path)
         rng = jax.random.PRNGKey(0)
         res = getattr(self.clip, "image_size", 224)
+        from ..utils.misc import module_init
+
         if self.clip_params is None:
-            self.clip_params = jax.jit(self.clip.init)(
-                rng, jnp.zeros((1, res, res, 3))
+            self.clip_params = module_init(
+                self.clip.init, rng, jnp.zeros((1, res, res, 3))
             )
         if self.mlp_params is None:
             feat_dim = getattr(self.clip, "output_dim", 768)
-            self.mlp_params = jax.jit(self.mlp.init)(
-                rng, jnp.zeros((1, feat_dim))
+            self.mlp_params = module_init(
+                self.mlp.init, rng, jnp.zeros((1, feat_dim))
             )
         self._res = res
         self._clip_fwd = jax.jit(self.clip.apply)

@@ -266,7 +266,32 @@ def blend_refine_batch(
             (lat, cache), _ = jax.lax.scan(body, (lat, cache), seg_idx)
             return lat, cache
 
-        return jax.jit(run_segment_turbo if encoder_reuse else run_segment)
+        # disk-cached traced program (utils/program_cache.py): the blend-loop
+        # scan re-traced the UNet per fresh process (~45 s of the stage-2
+        # cold start). Closure-captured σ schedule/indicator are keyed via
+        # the discretization/sampler configs; arrays in args key by avals.
+        from ..utils.program_cache import program_jit
+
+        disc = sampler.discretization
+        disc_key = (
+            type(disc).__name__,
+            sorted(
+                (k, v) for k, v in vars(disc).items()
+                if isinstance(v, (int, float, str, bool))
+            ),
+        )
+        run_fn = run_segment_turbo if encoder_reuse else run_segment
+        return program_jit(
+            run_fn,
+            name=f"v2v_blend{'_turbo' if encoder_reuse else ''}_cfg{int(use_cfg)}",
+            extra_key=(
+                getattr(dfnc if encoder_reuse else dfn, "program_key", None),
+                sampler._program_key(),
+                repr(disc_key),
+                f"steps={num_steps},chunk={chunk},alpha={ALPHA_POW},"
+                f"dtype={dtype},b={b},t={t}",
+            ),
+        )
 
     def runner_for(use_cfg: bool):
         return instance_cache(

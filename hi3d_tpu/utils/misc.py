@@ -66,10 +66,27 @@ def instance_cache(owner, key, factory):
     return cache[key]
 
 
-def instance_jit(owner, key, fn):
-    """`jax.jit(fn)` cached on `owner` under `key` (see instance_cache)."""
+def instance_jit(owner, key, fn, program_key=None):
+    """`jax.jit(fn)` cached on `owner` under `key` (see instance_cache).
+
+    With `program_key` (a stable string identity of the traced graph, e.g. a
+    flax module repr), the traced program is additionally disk-cached via
+    utils.program_cache — fresh processes deserialize instead of re-tracing.
+    """
     import jax
 
+    if program_key is not None:
+        from .program_cache import program_jit
+
+        return instance_cache(
+            owner,
+            key,
+            lambda: program_jit(
+                fn,
+                name=f"{type(owner).__name__}.{key}",
+                extra_key=program_key,
+            ),
+        )
     return instance_cache(owner, key, lambda: jax.jit(fn))
 
 
@@ -109,6 +126,52 @@ class PhaseTimer:
         print(f"[phases:{self.label}] total {total:.2f}s — " + ", ".join(
             f"{name} {dt:.2f}s" for name, dt in self.rows
         ))
+
+
+def zero_init_enabled() -> bool:
+    """True when HI3D_ZERO_INIT=1: module inits return zero-filled params via
+    eval_shape instead of running the real RNG initializers. Used when the
+    values are about to be overwritten anyway (checkpoint overlay — the
+    reference CLIs also discard init values, pipeline_i2v_eval_v01.py:50-52)
+    or when only kernel timing matters (bench.py). Cuts the measured
+    96 s + 67 s (stage-1 build+init) of tower/UNet init compile+run out of
+    the cold start."""
+    import os
+
+    return os.environ.get("HI3D_ZERO_INIT", "0") == "1"
+
+
+def module_init(init_fn, rng, *args, **kwargs):
+    """jit(init_fn)(rng, *args) — or one zero-fill program when
+    zero_init_enabled(). Zeros come from a SINGLE jitted program: a per-leaf
+    eager jnp.zeros would be ~1,000 dispatches through the TPU tunnel.
+    Real-init programs are disk-cached when the module identity is derivable
+    (bound-method init of a flax module; utils/program_cache.py)."""
+    if not zero_init_enabled():
+        f = getattr(init_fn, "func", init_fn)  # unwrap functools.partial
+        owner = getattr(f, "__self__", None)
+        if owner is not None:
+            from .program_cache import flax_module_key, program_jit
+
+            statics = repr(sorted(getattr(init_fn, "keywords", {}).items()))
+            names = sorted(kwargs)
+
+            def call(rng, pos, kwvals):
+                return init_fn(rng, *pos, **dict(zip(names, kwvals)))
+
+            return program_jit(
+                call,
+                name=f"init_{type(owner).__name__}",
+                extra_key=flax_module_key(owner) + statics + repr(names),
+            )(rng, tuple(args), tuple(kwargs[n] for n in names))
+        return jax.jit(init_fn)(rng, *args, **kwargs)
+    shapes = jax.eval_shape(init_fn, rng, *args, **kwargs)
+
+    @jax.jit
+    def zeros():
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    return zeros()
 
 
 def enable_persistent_compilation_cache() -> None:

@@ -69,7 +69,7 @@ def bench_stage1(res: int, t: int, encoder_reuse: int = 0,
     model, _ = create_model("configs/inference-v01.yaml")
     t_build = time.time() - t0
     t0 = time.time()
-    model.init(latent_hw=(res // 8, res // 8), num_frames=2)
+    model.init(latent_hw=(32, 32), num_frames=2)  # structure-only init
     t_init = time.time() - t0
     t0 = time.time()
     model.cast_weights_to_compute_dtype()
@@ -127,7 +127,7 @@ def bench_stage2(res: int, t: int, encoder_reuse: int = 0,
     model, _ = create_model("configs/inference-v02.yaml")
     t_build = time.time() - t0
     t0 = time.time()
-    model.init(latent_hw=(res // 8, res // 8), num_frames=2)
+    model.init(latent_hw=(32, 32), num_frames=2)  # structure-only init
     t_init = time.time() - t0
     t0 = time.time()
     model.cast_weights_to_compute_dtype()

@@ -62,7 +62,7 @@ def main() -> None:
     from hi3d_tpu.pipelines.serve import OrbitServer
 
     model, _ = create_model("configs/inference-v01.yaml")
-    model.init(latent_hw=(args.res // 8, args.res // 8), num_frames=2)
+    model.init(latent_hw=(32, 32), num_frames=2)  # structure-only init
     model.cast_weights_to_compute_dtype()
     model.num_samples = args.frames
     if args.steps:

@@ -101,6 +101,53 @@ def summarize(trace_dir: str, top: int = 30) -> None:
         print(f"{dur/1e3:9.2f} ms  {100*dur/max(total,1e-9):5.1f}%  {name}")
 
 
+def detail(trace_dir: str, prefix: str, top: int = 40) -> None:
+    """Itemize INDIVIDUAL ops whose name starts with `prefix` (e.g. 'copy',
+    'transpose', 'fusion') — per-op total time, call count, and the full op
+    name so the site can be located in the optimized HLO."""
+    paths = glob.glob(
+        os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
+    )
+    if not paths:
+        print("no trace found under", trace_dir)
+        return
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    pid_names = {
+        e.get("pid"): e.get("args", {}).get("name", "")
+        for e in events if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    device_pids = {
+        p for p, n in pid_names.items()
+        if "TPU" in n or "/device" in n.lower() or "Chip" in n
+    }
+    by_name = defaultdict(lambda: [0.0, 0])
+    total = bucket = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        dur = float(e.get("dur", 0.0))
+        if not dur:
+            continue
+        total += dur
+        name = e.get("name", "")
+        if not name.startswith(prefix):
+            continue
+        bucket += dur
+        rec = by_name[name]
+        rec[0] += dur
+        rec[1] += 1
+    print(f"trace: {path}")
+    print(
+        f"'{prefix}*' bucket: {bucket/1e3:.2f} ms of {total/1e3:.2f} ms "
+        f"({100*bucket/max(total,1e-9):.1f}%), {len(by_name)} distinct ops"
+    )
+    for name, (dur, cnt) in sorted(by_name.items(), key=lambda kv: -kv[1][0])[:top]:
+        print(f"{dur/1e3:9.3f} ms  ×{cnt:<4d} {name}")
+
+
 if __name__ == "__main__":
     import sys
 
@@ -111,7 +158,13 @@ if __name__ == "__main__":
     ap.add_argument("--stage2", action="store_true",
                     help="profile the stage-2 step (16×1024², 17ch)")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--detail", default=None, metavar="PREFIX",
+                    help="itemize individual ops with this name prefix "
+                         "(e.g. copy / transpose / fusion)")
     args = ap.parse_args()
     if not args.summarize_only:
         run_step(args.trace_dir, stage2=args.stage2)
-    summarize(args.trace_dir, top=args.top)
+    if args.detail:
+        detail(args.trace_dir, args.detail, top=args.top)
+    else:
+        summarize(args.trace_dir, top=args.top)
