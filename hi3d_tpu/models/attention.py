@@ -103,6 +103,73 @@ class LayerNorm32(nn.Module):
         return y.astype(x.dtype)
 
 
+def _flash_padpack() -> bool:
+    """HI3D_FLASH_PADPACK=1 routes flash-eligible SELF-attention sites
+    through the packed-heads kernel with head dims zero-padded 64→128 in
+    the projection weights. EXACT: padded q/k lanes contribute zero to
+    every score, padded v lanes produce zero output lanes, and the
+    out-projection's correspondingly padded rows ignore them. What it buys:
+    the packed layout is a free reshape of the projection output, so the
+    (B,S,H,D)→(B·H,S,D) transposes the 3-D kernel needs vanish — profiled
+    at ~150 ms of the 2.34 s stage-2 step (copy bucket + transposed-layout
+    fusions, BASELINE.md round-3). Cost: q/k/v/out projections compute 2×
+    lanes, and the kernel streams 2× bytes per k/v tile. Opt-in pending
+    full-step A/B on the chip."""
+    import os
+
+    return os.environ.get("HI3D_FLASH_PADPACK", "0") == "1"
+
+
+class _PadHeadDense(nn.Module):
+    """nn.Dense(heads·dim_head, use_bias=False) whose per-head output lanes
+    are zero-padded to `pad_to` at apply time (param tree unchanged)."""
+
+    heads: int
+    dim_head: int
+    pad_to: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (cin, self.heads * self.dim_head),
+        )
+        w = kernel.reshape(cin, self.heads, self.dim_head)
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, self.pad_to - self.dim_head)))
+        w = w.reshape(cin, self.heads * self.pad_to).astype(self.dtype)
+        return x.astype(self.dtype) @ w
+
+
+class _PadHeadOutDense(nn.Module):
+    """nn.Dense(features) consuming packed (B, S, heads·pad_to) tokens:
+    kernel rows are zero-padded per head to match (param tree unchanged)."""
+
+    features: int
+    heads: int
+    dim_head: int
+    pad_to: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.heads * self.dim_head, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        w = kernel.reshape(self.heads, self.dim_head, self.features)
+        w = jnp.pad(
+            w, ((0, 0), (0, self.pad_to - self.dim_head), (0, 0))
+        ).reshape(self.heads * self.pad_to, self.features)
+        return xp.astype(self.dtype) @ w.astype(self.dtype) + bias.astype(
+            self.dtype
+        )
+
+
 class CrossAttention(nn.Module):
     """Multi-head attention; self-attention when `context` is None."""
 
@@ -119,6 +186,38 @@ class CrossAttention(nn.Module):
         inner = self.heads * self.dim_head
         out_dim = self.out_dim if self.out_dim is not None else x.shape[-1]
         ctx = x if context is None else context
+
+        if (
+            _flash_padpack()
+            and context is None
+            and self.backend in ("auto", "flash")
+            and 0 < self.dim_head < 128
+        ):
+            from ..ops.attention import flash_self_attention_engages
+
+            if flash_self_attention_engages(x.shape[1], ctx.shape[1]):
+                from ..ops.flash_attention import flash_attention_packed
+
+                pad_to = 128
+                qp = _PadHeadDense(
+                    self.heads, self.dim_head, pad_to, dtype=self.dtype,
+                    name="to_q",
+                )(x)
+                kp = _PadHeadDense(
+                    self.heads, self.dim_head, pad_to, dtype=self.dtype,
+                    name="to_k",
+                )(ctx)
+                vp = _PadHeadDense(
+                    self.heads, self.dim_head, pad_to, dtype=self.dtype,
+                    name="to_v",
+                )(ctx)
+                outp = flash_attention_packed(
+                    qp, kp, vp, self.heads, scale=self.dim_head**-0.5
+                )
+                return _PadHeadOutDense(
+                    out_dim, self.heads, self.dim_head, pad_to,
+                    dtype=self.dtype, name="to_out_0",
+                )(outp)
 
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)

@@ -98,6 +98,26 @@ def dot_product_attention(
     raise ValueError(f"unknown attention backend {backend!r}")
 
 
+def flash_self_attention_engages(sq: int, sk: int) -> bool:
+    """True when dot_product_attention's auto logic would route an
+    (sq, sk) self-attention site to the flash kernel — exposed so
+    models.attention.CrossAttention can decide to use the packed-heads
+    entry (padded projections) for exactly those sites."""
+    backend = os.environ.get("HI3D_ATTN_BACKEND", "auto")
+    if backend == "xla":
+        return False
+    from .flash_attention import DEFAULT_BLOCK_Q, _default_block_k
+
+    block_k = _default_block_k(sk)
+    return (
+        _flash_available()
+        and sq >= _FLASH_MIN_Q_LEN
+        and sk >= _FLASH_MIN_Q_LEN
+        and sq % min(DEFAULT_BLOCK_Q, sq) == 0
+        and sk % min(block_k, sk) == 0
+    )
+
+
 def xla_attention_time(
     q: jax.Array,
     k: jax.Array,

@@ -567,3 +567,43 @@ def flash_attention(
         to3(q, sq), to3(k, sk), to3(v, sk), float(scale), block_q, block_k
     )
     return out3.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
+def flash_attention_packed(
+    qp: jax.Array,
+    kp: jax.Array,
+    vp: jax.Array,
+    heads: int,
+    scale: float,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: Optional[int] = None,
+) -> jax.Array:
+    """Packed-heads flash attention on (B, S, H·D) tensors.
+
+    The head is selected by BlockSpec lane offset, so the packed layout is
+    a FREE reshape of the Dense projection output — none of the
+    (B,S,H,D)→(B·H,S,D) transpose copies the 3-D entry pays. Mosaic
+    requires the per-head lane block be 128-aligned, i.e. D must be a
+    multiple of 128; models/attention.py reaches this at Hi3D's d=64 by
+    zero-padding each head's PROJECTION WEIGHTS 64→128 (exact: padded
+    q/k lanes contribute 0 to every score, padded v lanes produce zero
+    output lanes which the out-projection's padded rows ignore). `scale`
+    is mandatory — it must be the REAL head dim's d^-1/2, not the padded
+    array's."""
+    b, sq, hd = qp.shape
+    d = hd // heads
+    sk = kp.shape[1]
+    if d % 128 and not _interpret():
+        raise ValueError(f"packed flash needs 128-aligned head dim, got {d}")
+    if block_k is None:
+        block_k = _default_block_k(sk)
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    if sq % block_q or sk % block_k:
+        raise ValueError(
+            f"flash_attention_packed needs seq divisible by blocks: "
+            f"sq={sq}%{block_q}, sk={sk}%{block_k}"
+        )
+    dt = jnp.result_type(qp.dtype, kp.dtype, vp.dtype)
+    qp, kp, vp = qp.astype(dt), kp.astype(dt), vp.astype(dt)
+    return _flash_packed(qp, kp, vp, heads, float(scale), block_q, block_k)

@@ -96,3 +96,49 @@ def test_indivisible_seq_raises():
             jnp.concatenate([q, q[:, :44]], axis=1), k, v,
             block_q=BLK, block_k=BLK,
         )
+
+
+def test_packed_padded_heads_matches_xla():
+    """flash_attention_packed on zero-padded (B, S, H·128) tensors equals
+    unpadded attention on the real d=64 heads, and the padded output lanes
+    are exactly zero — the invariant models/attention.py's padpack path
+    (HI3D_FLASH_PADPACK) relies on."""
+    from hi3d_tpu.ops.flash_attention import flash_attention_packed
+
+    q, k, v = make_qkv()
+    pad_to = 128
+
+    def pack(x):
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad_to - D)))
+        return x.reshape(x.shape[0], x.shape[1], H * pad_to)
+
+    out_ref = xla_attention(q, k, v)
+    outp = jax.jit(
+        lambda a, b, c: flash_attention_packed(
+            a, b, c, H, scale=D**-0.5, block_q=BLK, block_k=BLK
+        )
+    )(pack(q), pack(k), pack(v))
+    outp = outp.reshape(B, S, H, pad_to)
+    np.testing.assert_allclose(
+        np.asarray(outp[..., :D]), np.asarray(out_ref), rtol=2e-5, atol=2e-5
+    )
+    assert float(np.abs(np.asarray(outp[..., D:])).max()) == 0.0
+
+
+def test_crossattention_padpack_exact(monkeypatch):
+    """CrossAttention with HI3D_FLASH_PADPACK=1 (padded projection weights +
+    packed kernel) is numerically the plain path on the SAME param tree."""
+    import hi3d_tpu.ops.attention as ops_attn
+    from hi3d_tpu.models.attention import CrossAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 1024, 128), jnp.float32)
+    m = CrossAttention(heads=2, dim_head=64)
+    params = m.init(jax.random.PRNGKey(4), x)
+    ref = m.apply(params, x)
+
+    monkeypatch.setenv("HI3D_FLASH_PADPACK", "1")
+    monkeypatch.setattr(ops_attn, "_flash_available", lambda: True)
+    out = m.apply(params, x)  # identical param tree drives the padded path
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5
+    )

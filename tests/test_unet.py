@@ -275,3 +275,30 @@ def test_image_only_indicator_disables_temporal():
         image_only_indicator=ind0,
     )
     assert not np.allclose(np.asarray(out3), np.asarray(out4))
+
+
+def test_time_conv_matmul_lowering_matches_conv(monkeypatch):
+    """HI3D_TIME_CONV=matmul (TimeKernelConv: kt shifted matmuls) is exactly
+    the nn.Conv((3,1,1)) lowering on the same param tree — measured-negative
+    perf opt-in (see models/layers._time_conv_as_matmul), kept correct."""
+    from hi3d_tpu.models.layers import ResBlock
+
+    rnd = np.random.RandomState(0)
+    x = jnp.asarray(rnd.rand(2, 5, 4, 4, 8).astype(np.float32))
+    emb = jnp.asarray(rnd.rand(2, 5, 16).astype(np.float32))
+    rb = ResBlock(out_channels=8, dims=3, kernel_size=(3, 1, 1),
+                  exchange_temb_dims=True)
+
+    monkeypatch.setenv("HI3D_TIME_CONV", "conv")
+    params = rb.init(jax.random.PRNGKey(0), x, emb)
+    y_conv = rb.apply(params, x, emb)
+
+    monkeypatch.setenv("HI3D_TIME_CONV", "matmul")
+    params_mm = rb.init(jax.random.PRNGKey(0), x, emb)
+    assert jax.tree_util.tree_structure(params) == (
+        jax.tree_util.tree_structure(params_mm)
+    )
+    y_mm = rb.apply(params, x, emb)
+    np.testing.assert_allclose(
+        np.asarray(y_mm), np.asarray(y_conv), rtol=2e-5, atol=2e-5
+    )
