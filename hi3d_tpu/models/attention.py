@@ -171,13 +171,20 @@ class _PadHeadOutDense(nn.Module):
 
 
 class CrossAttention(nn.Module):
-    """Multi-head attention; self-attention when `context` is None."""
+    """Multi-head attention; self-attention when `context` is None.
+
+    `seg_len > 0` makes self-attention SEGMENT-LOCAL: token i attends token
+    j iff i//seg_len == j//seg_len. Used by the grouped temporal path
+    (models.video_attention): frame-axis attention over location-major
+    (B, S·T, C) tokens with seg_len = T. Cross-attention calls (context
+    given) are unaffected."""
 
     heads: int
     dim_head: int
     out_dim: Optional[int] = None  # defaults to query dim
     dtype: Dtype = jnp.float32
     backend: str = "auto"
+    seg_len: int = 0
 
     @nn.compact
     def __call__(
@@ -229,9 +236,29 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, sk, self.heads, self.dim_head)
         v = v.reshape(b, sk, self.heads, self.dim_head)
 
-        out = dot_product_attention(q, k, v, backend=self.backend)
+        if self.seg_len and context is None:
+            out = _segment_local_attention(q, k, v, self.seg_len)
+        else:
+            out = dot_product_attention(q, k, v, backend=self.backend)
         out = out.reshape(b, sq, inner)
         return nn.Dense(out_dim, dtype=self.dtype, name="to_out_0")(out)
+
+
+def _segment_local_attention(q, k, v, seg_len: int):
+    """Block-diagonal self-attention on (B, S·T, H, D): the Pallas
+    block-local kernel when enabled, else an exact XLA fallback that
+    reshapes segments into the batch dim."""
+    from ..ops.temporal_attention import kernel_enabled
+
+    if kernel_enabled():
+        from ..ops.temporal_attention import temporal_block_attention
+
+        return temporal_block_attention(q, k, v, seg_len)
+    from ..ops.attention import xla_attention
+
+    b, st, h, d = q.shape
+    seg = lambda x: x.reshape(b * st // seg_len, seg_len, h, d)
+    return xla_attention(seg(q), seg(k), seg(v)).reshape(b, st, h, d)
 
 
 class TimeAxisCrossAttention(nn.Module):

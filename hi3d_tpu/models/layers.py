@@ -31,19 +31,28 @@ import flax.linen as nn
 Dtype = Any
 
 
-def _time_conv_as_matmul() -> bool:
-    """Opt-in (HI3D_TIME_CONV=matmul): lower the time-stack's (kt,1,1) conv
-    as kt shifted matmuls instead of a 5-D convolution — bit-identical
-    outputs, param tree unchanged. Hypothesis was that the conv lowering's
-    internal relayouts (the f32/bf16[16,128,16,16,320] copies in the stage-2
-    profile) would vanish; the full-step A/B says XLA's conv path is already
-    better: 0.4225 steps/s (matmul) vs 0.4273 (conv) on the stage-2 step.
-    Whatever relayouts the conv lowering pays, the shifted-matmul
-    formulation (3 matmuls + 2 padded adds) costs slightly more. Kept
-    opt-in as a measured negative (same policy as ops/group_norm.py)."""
+def _time_conv_mode() -> str:
+    """Lowering for the time-stack's (kt,1,1) conv — all three produce
+    bit-identical outputs with an unchanged param tree (HI3D_TIME_CONV):
+
+    - "conv" (default): 5-D conv_general_dilated over (B, T, H, W, C).
+      XLA's 5-D lowering re-tiles its operands at every site (the f32/bf16
+      [16,128,16,16,320] copies in the stage-2 profile, ~36 ms/step across
+      in/out_layers) — but both replacements below measured WORSE, so the
+      relayouts are cheaper than they look; this bucket is closed by
+      bracketing, not plateaued.
+    - "conv4d": run the whole time-stack ResBlock on 4-D (B, T, H·W, C)
+      tokens with a (kt, 1) 2-D convolution (free reshape in, free reshape
+      out). Measured negative: 0.4166 vs 0.4275 steps/s on the stage-2
+      step — the (3,1)-kernel conv over a 16×16384 "image" tiles worse
+      than the 5-D path's relayout+conv.
+    - "matmul": kt frame-shifted matmuls. Measured negative in round 3
+      (0.4225 vs 0.4273 steps/s stage-2): the shifted-matmul formulation
+      (3 matmuls + 2 padded adds) costs more than the conv's relayouts.
+    """
     import os
 
-    return os.environ.get("HI3D_TIME_CONV", "conv") == "matmul"
+    return os.environ.get("HI3D_TIME_CONV", "conv")
 
 
 class TimeKernelConv(nn.Module):
@@ -85,6 +94,36 @@ class TimeKernelConv(nn.Module):
             else:
                 p = jnp.einsum("bthwc,cd->bthwd", x, w[i, 0, 0])
             y = p if y is None else y + p
+        return y + bias.astype(self.dtype)
+
+
+class TimeConv4D(nn.Module):
+    """nn.Conv((kt, 1, 1), 'SAME')-equivalent applied to (B, T, S, C) tokens
+    (S = merged H·W) as a (kt, 1) 2-D convolution. Param layout matches the
+    5-D nn.Conv — kernel (kt, 1, 1, C_in, C_out), bias (C_out,) — so
+    checkpoints and converters are untouched (see _time_conv_mode)."""
+
+    features: int
+    kt: int
+    dtype: Dtype = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (self.kt, 1, 1, cin, self.features)
+        )
+        bias = self.param("bias", self.bias_init, (self.features,))
+        pad = self.kt // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.reshape(self.kt, 1, cin, self.features).astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((pad, pad), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
         return y + bias.astype(self.dtype)
 
 
@@ -234,15 +273,21 @@ class ResBlock(nn.Module):
         else:
             kernel = tuple(self.kernel_size)
 
-        # (kt, 1, 1) time-stack convs lower as shifted matmuls by default —
-        # the 5-D conv lowering pays layout-relayout copies at every site
-        # (see _time_conv_as_matmul)
-        time_matmul = (
-            self.dims == 3
-            and len(kernel) == 3
-            and kernel[1:] == (1, 1)
-            and _time_conv_as_matmul()
+        # (kt, 1, 1) time-stack convs: pick the lowering (see _time_conv_mode)
+        is_time_kernel = (
+            self.dims == 3 and len(kernel) == 3 and kernel[1:] == (1, 1)
         )
+        mode = _time_conv_mode() if is_time_kernel else "conv"
+        time_matmul = is_time_kernel and mode == "matmul"
+        time_4d = is_time_kernel and mode == "conv4d"
+
+        orig_shape = x.shape
+        if time_4d:
+            # merge H·W: every op in this block is pointwise over (h, w), so
+            # the whole ResBlock runs on (B, T, S, C) tokens and the conv
+            # becomes the NHWC 2-D shape XLA lays out without relayouts
+            b_, t_, h_, w_, c_ = x.shape
+            x = x.reshape(b_, t_, h_ * w_, c_)
 
         def conv(name, zero_init=False):
             init = nn.initializers.zeros if zero_init else (
@@ -250,6 +295,14 @@ class ResBlock(nn.Module):
             )
             if time_matmul:
                 return TimeKernelConv(
+                    self.out_channels,
+                    kt=kernel[0],
+                    dtype=self.dtype,
+                    kernel_init=init,
+                    name=name,
+                )
+            if time_4d:
+                return TimeConv4D(
                     self.out_channels,
                     kt=kernel[0],
                     dtype=self.dtype,
@@ -299,6 +352,12 @@ class ResBlock(nn.Module):
 
         if self.out_channels == in_ch:
             skip = x
+        elif time_4d:
+            # param shape (1,1,1,C_in,C_out) matches nn.Conv((1,1,1))
+            skip = TimeConv4D(
+                self.out_channels, kt=1, dtype=self.dtype,
+                name="skip_connection",
+            )(x)
         else:
             skip = nn.Conv(
                 self.out_channels,
@@ -306,7 +365,10 @@ class ResBlock(nn.Module):
                 dtype=self.dtype,
                 name="skip_connection",
             )(x)
-        return skip + h
+        out = skip + h
+        if time_4d:
+            out = out.reshape(orig_shape[:-1] + (self.out_channels,))
+        return out
 
 
 class Upsample(nn.Module):

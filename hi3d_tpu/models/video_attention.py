@@ -36,15 +36,31 @@ from .layers import AlphaBlender, GroupNorm32, timestep_embedding
 Dtype = Any
 
 
-def _temporal_4d() -> bool:
-    """Default ON: temporal-attention tokens stay 4-D (B, T, S, C) instead
-    of flattening to (B·S, T, C) — removes the ~0.4 ms layout copy XLA emits
-    per time_stack site for the flattened rearrange (HI3D_TEMPORAL_4D=0
-    reverts). Param trees are identical in both modes. Full-step A/B on the
-    v5e chip: 2.22 vs 2.16 steps/s alone, 2.25 combined with twostage GN."""
+def _temporal_mode() -> str:
+    """Token layout for the temporal blocks (HI3D_TEMPORAL_MODE). Param
+    trees are identical in all modes; outputs match to dtype tolerance.
+    Stage-2 full-step A/B on the v5e chip (block-local kernel on in all
+    legs, HI3D_TEMPORAL_BLOCK=512):
+
+    - "4d" (default, 0.4434 steps/s): tokens stay (B, T, S, C); attention
+      via ops.attention.xla_attention_time, which dispatches to the
+      block-local Pallas kernel (ops/temporal_attention.py) when supported.
+      The kernel entry pays per-tensor transposes to the location-major
+      layout, but XLA fuses them into the surrounding elementwise chains.
+    - "grouped" (0.4316): ONE explicit transpose at block entry to
+      location-major (B, S·T, C) tokens; attention becomes segment-local
+      (seg_len = T); ff_in/attn2/ff run in the same layout and per-video
+      context needs no repeat. Hoisting the transposes measured SLOWER than
+      letting XLA place them per-tensor — kept as a bracket.
+    - "flat" (round-1 bracket, slower still): the reference's (B·S, T, C)
+      rearrange (sgm/modules/video_attention.py:113-114); repeats context
+      per location.
+    """
     import os
 
-    return os.environ.get("HI3D_TEMPORAL_4D", "1") == "1"
+    legacy = os.environ.get("HI3D_TEMPORAL_4D")
+    default = ("4d" if legacy == "1" else "flat") if legacy is not None else "4d"
+    return os.environ.get("HI3D_TEMPORAL_MODE", default)
 
 
 class VideoTransformerBlock(nn.Module):
@@ -69,9 +85,22 @@ class VideoTransformerBlock(nn.Module):
         bt, s, c = x.shape
         t = timesteps
         b = bt // t
-        four_d = _temporal_4d()
-        if four_d:
-            # keep tokens as (B, T, S, C) — a free reshape — and attend over
+        mode = _temporal_mode()
+        if mode == "grouped":
+            # ONE transpose to location-major (B, S·T, C); frame attention
+            # becomes segment-local (seg_len = t); `context` stays per-video
+            # (B, S_ctx, C) — batch unchanged, no repeat
+            x = x.reshape(b, t, s, c).transpose(0, 2, 1, 3).reshape(b, s * t, c)
+            attn = lambda name: CrossAttention(
+                heads=self.heads,
+                dim_head=self.dim_head,
+                dtype=self.dtype,
+                backend=self.attn_backend,
+                seg_len=t,
+                name=name,
+            )
+        elif mode == "4d":
+            # tokens stay (B, T, S, C) — a free reshape — and attend over
             # the frame axis in place (ops.attention.xla_attention_time);
             # `context` stays per-video (B, S_ctx, C)
             x = x.reshape(b, t, s, c)
@@ -115,7 +144,9 @@ class VideoTransformerBlock(nn.Module):
         x = x + x_skip
 
         # back to (B·T, S, C)
-        if four_d:
+        if mode == "grouped":
+            x = x.reshape(b, s, t, c).transpose(0, 2, 1, 3).reshape(b * t, s, c)
+        elif mode == "4d":
             x = x.reshape(b * t, s, c)
         else:
             x = x.reshape(b, s, t, c).transpose(0, 2, 1, 3).reshape(b * t, s, c)
@@ -160,18 +191,20 @@ class SpatialVideoTransformer(nn.Module):
         x_in = x
 
         spatial_context = context
+        flat_mode = _temporal_mode() == "flat"
         if self.use_spatial_context:
-            # per-video context = first frame's tokens; the 4-D temporal path
-            # consumes it as-is, the flattened path repeats per location
+            # per-video context = first frame's tokens; the grouped and 4-D
+            # temporal paths consume it as-is (batch stays B), the flattened
+            # path repeats per location
             tc_first = context.reshape(b, t, *context.shape[1:])[:, 0]
             time_context = (
-                tc_first if _temporal_4d()
-                else jnp.repeat(tc_first, h * w, axis=0)  # (B·H·W, S, C)
+                jnp.repeat(tc_first, h * w, axis=0)  # (B·H·W, S, C)
+                if flat_mode else tc_first
             )
         elif time_context is not None:
             if time_context.ndim == 2:
                 time_context = time_context[:, None, :]
-            if not _temporal_4d():
+            if flat_mode:
                 time_context = jnp.repeat(time_context, h * w, axis=0)
 
         x = GroupNorm32(name="norm")(x)

@@ -118,6 +118,12 @@ def flash_self_attention_engages(sq: int, sk: int) -> bool:
     )
 
 
+def _temporal_fused_engages(q_shape, k_shape) -> bool:
+    from .temporal_attention import temporal_attention_supported
+
+    return temporal_attention_supported(q_shape, k_shape)
+
+
 def xla_attention_time(
     q: jax.Array,
     k: jax.Array,
@@ -155,6 +161,15 @@ def xla_attention_time(
             "bshqk,bkhd->bqshd", probs.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
         )
+    elif _temporal_fused_engages(q.shape, k.shape):
+        # frame-axis self-attention: one fused Pallas pass in the layout the
+        # qkv projections produce — replaces the 3 qkv layout copies, the f32
+        # (B,S,H,T,T) logits materialization, and the slot-starved batched
+        # 16×64 dots the einsum path pays (~175 ms/step at stage 2;
+        # BASELINE.md round-3 copy/fusion itemization)
+        from .temporal_attention import temporal_attention_fused
+
+        return temporal_attention_fused(q, k, v, scale=scale)
     else:
         logits = jnp.einsum(
             "bqshd,bkshd->bshqk", q, k, preferred_element_type=jnp.float32

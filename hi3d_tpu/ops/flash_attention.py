@@ -86,8 +86,23 @@ def _variant() -> str:
 # --------------------------------------------------------------------------
 
 
+def _seg_mask(s, seg_len: int, i, j, block_q: int, block_k: int):
+    """Block-diagonal segment mask: query q may attend key k iff
+    q//seg_len == k//seg_len. Used by the grouped temporal-attention
+    formulation (ops.attention grouped frame attention): tokens are
+    (location, frame) pairs flattened location-major, so same-segment ==
+    same spatial location. Masked scores drop to _NEG_INF (log2 domain)."""
+    rows = i * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, s.ndim - 2
+    )
+    cols = j * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, s.ndim - 1
+    )
+    return jnp.where((rows // seg_len) == (cols // seg_len), s, _NEG_INF)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
-                scale: float, nk: int, kax: int = 2):
+                scale: float, nk: int, kax: int = 2, seg_len: int = 0):
     j = pl.program_id(kax)
 
     @pl.when(j == 0)
@@ -106,12 +121,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (bq, bk), log2-domain
+    if seg_len:
+        s = _seg_mask(s, seg_len, pl.program_id(kax - 1), j,
+                      q_ref.shape[1], k_ref.shape[1])
 
     m_prev = m_scr[:, :1]
     m_curr = jnp.max(s, axis=-1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_curr)
     corr = jnp.exp2(m_prev - m_next)
     p = jnp.exp2(s - m_next)
+    if seg_len:
+        # a k-block fully outside a row's segment leaves m_next at _NEG_INF;
+        # exp2(s - m_next) would then be exp2(0)=1 for masked entries
+        p = jnp.where(s <= _NEG_INF / 2, 0.0, p)
     l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
     m_scr[:, :1] = m_next
     acc_scr[...] = acc_scr[...] * corr + jax.lax.dot(
@@ -127,7 +149,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
 
 
 def _fwd_kernel_vaug(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *,
-                     scale: float, nk: int, d: int, kt: bool, kax: int = 2):
+                     scale: float, nk: int, d: int, kt: bool, kax: int = 2,
+                     seg_len: int = 0):
     """Online softmax with the row-sum folded into the PV matmul.
 
     The V tile is lane-padded to 128 columns with a ones-column at lane d;
@@ -152,12 +175,17 @@ def _fwd_kernel_vaug(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *,
             q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+    if seg_len:
+        s = _seg_mask(s, seg_len, pl.program_id(kax - 1), j,
+                      q_ref.shape[1], k_ref.shape[2 if kt else 1])
 
     m_prev = m_scr[:, :1]
     m_curr = jnp.max(s, axis=-1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_curr)
     corr = jnp.exp2(m_prev - m_next)
     p = jnp.exp2(s - m_next)
+    if seg_len:
+        p = jnp.where(s <= _NEG_INF / 2, 0.0, p)  # see _fwd_kernel
     m_scr[:, :1] = m_next
 
     v_blk = v_ref[0]  # (bk, d)
@@ -208,14 +236,14 @@ def _fwd_kernel_kt(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         lse_ref[0] = m_scr[:, :1] * _LN_2 + jnp.log(l)
 
 
-def _fwd(q3, k3, v3, scale, block_q, block_k):
+def _fwd(q3, k3, v3, scale, block_q, block_k, seg_len=0):
     bh, sq, d = q3.shape
     sk = k3.shape[1]
     nq, nk = sq // block_q, sk // block_k
     grid = (bh, nq, nk)
     variant = _variant()
     vaug = "vaug" in variant and d < 128
-    kt = "kt" in variant
+    kt = "kt" in variant and not seg_len  # kt kernel has no mask support
 
     q_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
     if kt:
@@ -227,7 +255,7 @@ def _fwd(q3, k3, v3, scale, block_q, block_k):
 
     if vaug:
         kernel = functools.partial(
-            _fwd_kernel_vaug, scale=scale, nk=nk, d=d, kt=kt
+            _fwd_kernel_vaug, scale=scale, nk=nk, d=d, kt=kt, seg_len=seg_len
         )
         scratch = [
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -241,7 +269,8 @@ def _fwd(q3, k3, v3, scale, block_q, block_k):
             pltpu.VMEM((block_q, d), jnp.float32),
         ]
     else:
-        kernel = functools.partial(_fwd_kernel, scale=scale, nk=nk)
+        kernel = functools.partial(_fwd_kernel, scale=scale, nk=nk,
+                                   seg_len=seg_len)
         scratch = [
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -373,7 +402,8 @@ _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float, nq: int):
+                dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float, nq: int,
+                seg_len: int = 0):
     i = pl.program_id(2)  # q-block index (sequential)
 
     @pl.when(i == 0)
@@ -389,6 +419,10 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                              # (bq, bk), log2-domain
+    if seg_len:
+        # masked s → _NEG_INF → p = 0 exactly (lse is finite)
+        s = _seg_mask(s, seg_len, i, pl.program_id(1),
+                      q_ref.shape[1], k_ref.shape[1])
     p = jnp.exp2(s - lse * _LOG2_E)
     # dv += pᵀ dO
     dv_scr[...] += jax.lax.dot_general(
@@ -414,7 +448,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-               dq_ref, dq_scr, *, scale: float, nk: int):
+               dq_ref, dq_scr, *, scale: float, nk: int, seg_len: int = 0):
     j = pl.program_id(2)  # k-block index (sequential)
 
     @pl.when(j == 0)
@@ -429,6 +463,9 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if seg_len:
+        s = _seg_mask(s, seg_len, pl.program_id(1), j,
+                      q_ref.shape[1], k_ref.shape[1])
     p = jnp.exp2(s - lse * _LOG2_E)
     dp = jax.lax.dot_general(
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
@@ -444,7 +481,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dq_ref[0] = (dq_scr[...] * scale).astype(dq_ref.dtype)
 
 
-def _bwd(scale, block_q, block_k, res, g):
+def _bwd(scale, block_q, block_k, res, g, seg_len=0):
     q3, k3, v3, out, lse = res
     bh, sq, d = q3.shape
     sk = k3.shape[1]
@@ -460,7 +497,7 @@ def _bwd(scale, block_q, block_k, res, g):
     row_spec_i = pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0))
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, nq=nq),
+        functools.partial(_dkv_kernel, scale=scale, nq=nq, seg_len=seg_len),
         grid=(bh, nk, nq),
         in_specs=[q_spec_i, kv_spec_j, kv_spec_j, q_spec_i, row_spec_i,
                   row_spec_i],
@@ -484,7 +521,7 @@ def _bwd(scale, block_q, block_k, res, g):
     row_spec_q = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0))
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, nk=nk),
+        functools.partial(_dq_kernel, scale=scale, nk=nk, seg_len=seg_len),
         grid=(bh, nq, nk),
         in_specs=[q_spec_q, kv_spec_k, kv_spec_k, q_spec_q, row_spec_q,
                   row_spec_q],
@@ -505,18 +542,22 @@ def _bwd(scale, block_q, block_k, res, g):
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash3(q3, k3, v3, scale, block_q, block_k):
-    out, _ = _fwd(q3, k3, v3, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash3(q3, k3, v3, scale, block_q, block_k, seg_len=0):
+    out, _ = _fwd(q3, k3, v3, scale, block_q, block_k, seg_len)
     return out
 
 
-def _flash3_fwd(q3, k3, v3, scale, block_q, block_k):
-    out, lse = _fwd(q3, k3, v3, scale, block_q, block_k)
+def _flash3_fwd(q3, k3, v3, scale, block_q, block_k, seg_len=0):
+    out, lse = _fwd(q3, k3, v3, scale, block_q, block_k, seg_len)
     return out, (q3, k3, v3, out, lse)
 
 
-_flash3.defvjp(_flash3_fwd, _bwd)
+def _flash3_bwd(scale, block_q, block_k, seg_len, res, g):
+    return _bwd(scale, block_q, block_k, res, g, seg_len)
+
+
+_flash3.defvjp(_flash3_fwd, _flash3_bwd)
 
 
 def flash_attention(
@@ -526,8 +567,14 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: Optional[int] = None,
+    seg_len: int = 0,
 ) -> jax.Array:
-    """(B, Sq, H, D) × (B, Sk, H, D) → (B, Sq, H, D)."""
+    """(B, Sq, H, D) × (B, Sk, H, D) → (B, Sq, H, D).
+
+    `seg_len > 0` applies a block-diagonal segment mask: token q attends
+    token k iff q//seg_len == k//seg_len (requires sq == sk). This turns the
+    kernel into many independent seg_len-long attentions batched along the
+    sequence — the grouped temporal-attention formulation (ops.attention)."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
     if scale is None:
@@ -553,7 +600,12 @@ def flash_attention(
     # only lowers for d ≥ 128; Hi3D's d=64 heads stay on the 3-D path
     # (measured: the per-site transposes there total only ~25 ms/step —
     # the profile's 193 ms "copy" bucket is mostly non-attention layouts).
-    if "pack" in _variant() and (d % 128 == 0 or _interpret()):
+    if seg_len and (sq != sk or sq % seg_len):
+        raise ValueError(
+            f"seg_len={seg_len} needs sq == sk divisible by it, got "
+            f"sq={sq}, sk={sk}"
+        )
+    if "pack" in _variant() and not seg_len and (d % 128 == 0 or _interpret()):
         out = _flash_packed(
             q.reshape(b, sq, h * d), k.reshape(b, sk, h * d),
             v.reshape(b, sk, h * d), h, float(scale), block_q, block_k
@@ -564,7 +616,8 @@ def flash_attention(
         return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
 
     out3 = _flash3(
-        to3(q, sq), to3(k, sk), to3(v, sk), float(scale), block_q, block_k
+        to3(q, sq), to3(k, sk), to3(v, sk), float(scale), block_q, block_k,
+        seg_len,
     )
     return out3.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 

@@ -2,9 +2,11 @@
 
 - HI3D_GN twostage (default) vs flax — pure-XLA two-stage GroupNorm
   statistics (spatial-first lane-aligned reduction, ops/group_norm._group_stats);
-- HI3D_TEMPORAL_4D 1 (default) vs 0 — temporal attention over 4-D
-  (B, T, S, C) tokens without the (B·S, T, C) flattening
-  (models/attention.TimeAxisCrossAttention).
+- HI3D_TEMPORAL_MODE grouped (default) / 4d / flat — temporal-attention
+  token layouts (models/video_attention._temporal_mode): location-major
+  grouped tokens with the block-local Pallas kernel, 4-D
+  (B, T, S, C) tokens (models/attention.TimeAxisCrossAttention), and the
+  reference's (B·S, T, C) flattening.
 
 Both modes must be bit-compatible in structure (same param tree) and
 numerically equivalent within fp32 tolerance.
@@ -68,7 +70,12 @@ def test_twostage_group_norm_matches_flax(shape, act):
     )
 
 
-def test_temporal_4d_matches_flattened():
+@pytest.mark.parametrize("mode", ["4d", "grouped", "grouped-xla"])
+def test_temporal_modes_match_flattened(mode):
+    """All temporal token layouts (HI3D_TEMPORAL_MODE) produce the same
+    outputs and the same param tree as the reference-shaped flattened
+    rearrange; 'grouped-xla' additionally pins the segment-local XLA
+    fallback against the Pallas block-local kernel's path."""
     b, t, h, w, c = 2, 4, 8, 8, 32
     m = SpatialVideoTransformer(
         heads=2, dim_head=16, depth=1, use_spatial_context=True
@@ -78,9 +85,18 @@ def test_temporal_4d_matches_flattened():
     ind = jnp.zeros((b, t))
     kw = dict(context=ctx, timesteps=t, image_only_indicator=ind)
     params = _randomized(m.init(jax.random.PRNGKey(0), x, **kw), seed=2)
-    with _env(HI3D_TEMPORAL_4D="0"):
+    with _env(HI3D_TEMPORAL_MODE="flat"):
         ref = m.apply(params, x, **kw)
-    with _env(HI3D_TEMPORAL_4D="1"):
+    env = {
+        "4d": {"HI3D_TEMPORAL_MODE": "4d"},
+        # grouped + the Pallas kernel (interpret mode on CPU)
+        "grouped": {"HI3D_TEMPORAL_MODE": "grouped",
+                    "HI3D_TEMPORAL_FUSED": "force"},
+        # grouped + the segment-local XLA fallback
+        "grouped-xla": {"HI3D_TEMPORAL_MODE": "grouped",
+                        "HI3D_TEMPORAL_FUSED": "0"},
+    }[mode]
+    with _env(**env):
         got = m.apply(params, x, **kw)
         # param tree identical under the flag
         p4 = m.init(jax.random.PRNGKey(0), x, **kw)

@@ -1,0 +1,120 @@
+"""Fused temporal-attention kernel vs the XLA einsum formulation.
+
+The kernel (ops/temporal_attention.py) must reproduce
+ops.attention.xla_attention_time's self-attention branch exactly (same fp32
+softmax semantics) — it replaces it on TPU in the VideoUNet's time_stack
+blocks (reference sgm/modules/video_attention.py:61-73)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hi3d_tpu.ops.attention import xla_attention_time
+from hi3d_tpu.ops.temporal_attention import (
+    default_block,
+    temporal_attention_fused,
+    temporal_attention_supported,
+)
+
+
+def _rand(key, shape, dtype):
+    return jax.random.normal(key, shape, jnp.float32).astype(dtype)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize(
+    "b,t,s,h,d",
+    [
+        (2, 16, 256, 5, 64),   # stage-2 top level (s cut for CPU)
+        (1, 16, 128, 10, 64),  # mid level
+        (2, 8, 64, 3, 32),     # odd sizes
+    ],
+)
+def test_fused_matches_xla(b, t, s, h, d, dtype):
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = _rand(keys[0], (b, t, s, h, d), dtype)
+    k = _rand(keys[1], (b, t, s, h, d), dtype)
+    v = _rand(keys[2], (b, t, s, h, d), dtype)
+
+    got = jax.jit(temporal_attention_fused)(q, k, v)
+    want = xla_attention_time(q, k, v)
+    assert got.dtype == want.dtype
+    tol = 1e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=tol, rtol=tol,
+    )
+
+
+def test_fused_grad_matches_xla():
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    shape = (1, 8, 64, 2, 16)
+    q, k, v = (_rand(keys[i], shape, jnp.float32) for i in range(3))
+
+    def loss_fused(q, k, v):
+        return jnp.sum(temporal_attention_fused(q, k, v) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_attention_time(q, k, v) ** 2)
+
+    g_fused = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(q, k, v)
+    g_xla = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(q, k, v)
+    for gf, gx in zip(g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_supported_predicate(monkeypatch):
+    # default "1" engages on TPU only (interpret mode loops the grid — too
+    # slow for the real-shape CPU gates); "force" engages everywhere
+    monkeypatch.setenv("HI3D_TEMPORAL_FUSED", "force")
+    assert temporal_attention_supported((2, 16, 16384, 5, 64),
+                                        (2, 16, 16384, 5, 64))
+    # awkward spatial sizes still block-decompose (s·t is always a multiple
+    # of t, so a seg-aligned block exists)
+    assert temporal_attention_supported((1, 16, 100, 5, 64),
+                                        (1, 16, 100, 5, 64))
+    # cross-attention (4-D kv) is not the kernel's job
+    assert not temporal_attention_supported((2, 16, 256, 5, 64),
+                                            (2, 1, 5, 64))
+    # env kill-switch
+    monkeypatch.setenv("HI3D_TEMPORAL_FUSED", "0")
+    assert not temporal_attention_supported((2, 16, 16384, 5, 64),
+                                            (2, 16, 16384, 5, 64))
+    # default on CPU: off (this suite runs on CPU)
+    monkeypatch.delenv("HI3D_TEMPORAL_FUSED", raising=False)
+    import jax
+
+    expected = jax.default_backend() == "tpu"
+    assert temporal_attention_supported(
+        (2, 16, 16384, 5, 64), (2, 16, 16384, 5, 64)
+    ) == expected
+
+
+def test_block_size():
+    # stage-2 top level: 16384·16 tokens, seg 16 → full 512 block (measured
+    # best in the round-3 sweep)
+    assert default_block(16, 16384 * 16) == 512
+    # segment longer than the cap → block = one segment (when aligned)
+    assert default_block(304, 1216) == 304
+    # unaligned segment (not a multiple of 8) has no valid block
+    assert default_block(300, 1200) == 0
+    # tokens not a multiple of any aligned block
+    assert default_block(16, 100) == 0
+
+
+def test_dispatch_through_xla_attention_time(monkeypatch):
+    """xla_attention_time routes 5-D self-attention to the fused kernel
+    (forced interpret mode on CPU) and the result stays identical."""
+    keys = jax.random.split(jax.random.PRNGKey(2), 3)
+    shape = (1, 16, 128, 2, 32)
+    q, k, v = (_rand(keys[i], shape, jnp.bfloat16) for i in range(3))
+    monkeypatch.setenv("HI3D_TEMPORAL_FUSED", "force")
+    got = xla_attention_time(q, k, v)
+    monkeypatch.setenv("HI3D_TEMPORAL_FUSED", "0")
+    want = xla_attention_time(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )

@@ -302,3 +302,33 @@ def test_time_conv_matmul_lowering_matches_conv(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(y_mm), np.asarray(y_conv), rtol=2e-5, atol=2e-5
     )
+
+
+def test_time_conv_4d_lowering_matches_conv(monkeypatch):
+    """HI3D_TIME_CONV=conv4d (the default: whole time-stack ResBlock on
+    (B, T, H·W, C) with a (kt,1) 2-D conv) is exactly the nn.Conv((3,1,1))
+    lowering on the same param tree — including the skip_connection
+    pointwise conv when channels change."""
+    from hi3d_tpu.models.layers import ResBlock
+
+    rnd = np.random.RandomState(1)
+    x = jnp.asarray(rnd.rand(2, 5, 4, 6, 8).astype(np.float32))
+    emb = jnp.asarray(rnd.rand(2, 5, 16).astype(np.float32))
+    for out_ch in (8, 12):  # identity skip and 1×1×1-conv skip
+        rb = ResBlock(out_channels=out_ch, dims=3, kernel_size=(3, 1, 1),
+                      exchange_temb_dims=True)
+
+        monkeypatch.setenv("HI3D_TIME_CONV", "conv")
+        params = rb.init(jax.random.PRNGKey(0), x, emb)
+        y_conv = rb.apply(params, x, emb)
+
+        monkeypatch.setenv("HI3D_TIME_CONV", "conv4d")
+        params_4d = rb.init(jax.random.PRNGKey(0), x, emb)
+        assert jax.tree_util.tree_structure(params) == (
+            jax.tree_util.tree_structure(params_4d)
+        )
+        y_4d = rb.apply(params, x, emb)
+        assert y_4d.shape == y_conv.shape
+        np.testing.assert_allclose(
+            np.asarray(y_4d), np.asarray(y_conv), rtol=2e-5, atol=2e-5
+        )

@@ -16,7 +16,7 @@ import os
 from collections import defaultdict
 
 
-def run_step(trace_dir: str, stage2: bool = False) -> None:
+def run_step(trace_dir: str, stage2: bool = False, dump_hlo: str | None = None) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -56,6 +56,14 @@ def run_step(trace_dir: str, stage2: bool = False) -> None:
         network = wrapper.bind(params, num_video_frames=T, image_only_indicator=ind)
         return denoiser(network, x, sigma, {"concat": concat, "crossattn": ctx, "vector": y})
 
+    if dump_hlo:
+        # optimized HLO text: op names here match the trace's event names,
+        # so `--detail copy` hits can be located by shape/operand
+        compiled = step.lower(params, x, sigma, concat, ctx, y).compile()
+        with open(dump_hlo, "w") as f:
+            f.write(compiled.as_text())
+        print("optimized HLO ->", dump_hlo)
+        return
     jax.block_until_ready(step(params, x, sigma, concat, ctx, y))
     with jax.profiler.trace(trace_dir):
         for _ in range(3):
@@ -161,7 +169,13 @@ if __name__ == "__main__":
     ap.add_argument("--detail", default=None, metavar="PREFIX",
                     help="itemize individual ops with this name prefix "
                          "(e.g. copy / transpose / fusion)")
+    ap.add_argument("--dump-hlo", default=None, metavar="PATH",
+                    help="compile the step and write optimized HLO text "
+                         "to PATH instead of profiling")
     args = ap.parse_args()
+    if args.dump_hlo:
+        run_step(args.trace_dir, stage2=args.stage2, dump_hlo=args.dump_hlo)
+        sys.exit(0)
     if not args.summarize_only:
         run_step(args.trace_dir, stage2=args.stage2)
     if args.detail:
