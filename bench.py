@@ -401,32 +401,43 @@ def main() -> None:
             s2_step = m["sec_per_step"]
             extra.append(m)
         except Exception as e:  # OOM/compile failure must not kill the line
-            skipped.append(f"stage2: {type(e).__name__}")
+            msg = " ".join(str(e).split())[:160]
+            skipped.append(f"stage2: {type(e).__name__}: {msg}")
     else:
         skipped.append("stage2: budget")
 
     # the north-star per-asset marginals (VERDICT r2 #3). Warm program+compile
     # caches make these mostly device work; budget-gated like everything else.
-    if os.environ.get("HI3D_BENCH_E2E", "1") != "0" and _remaining() > 120:
-        try:
-            extra.append(_bench_e2e_stage(1, primary["sec_per_step"]))
-        except Exception as e:
-            skipped.append(f"e2e_stage1: {type(e).__name__}")
-    else:
-        skipped.append("e2e_stage1: budget")
-    if os.environ.get("HI3D_BENCH_E2E", "1") != "0" and _remaining() > 160:
-        try:
-            extra.append(_bench_e2e_stage(2, s2_step))
-        except Exception as e:
-            skipped.append(f"e2e_stage2: {type(e).__name__}")
-    else:
-        skipped.append("e2e_stage2: budget")
+    # One retry per stage: the tunneled backend occasionally drops an RPC
+    # mid-run (observed round 3: a JaxRuntimeError on a path that reproduces
+    # clean), and a per-asset number is worth a second attempt if the budget
+    # still allows one.
+    def _try_e2e(stage, step_sec, min_budget):
+        if os.environ.get("HI3D_BENCH_E2E", "1") == "0" or _remaining() < min_budget:
+            skipped.append(f"e2e_stage{stage}: budget")
+            return
+        for attempt in (1, 2):
+            try:
+                extra.append(_bench_e2e_stage(stage, step_sec))
+                return
+            except Exception as e:
+                msg = " ".join(str(e).split())[:160]
+                skipped.append(
+                    f"e2e_stage{stage} attempt {attempt}: "
+                    f"{type(e).__name__}: {msg}"
+                )
+                if _remaining() < min_budget:
+                    return
+
+    _try_e2e(1, primary["sec_per_step"], 120)
+    _try_e2e(2, s2_step, 160)
 
     if _remaining() > 120:
         try:
             extra.append(_bench_train(peak))
         except Exception as e:
-            skipped.append(f"train: {type(e).__name__}")
+            msg = " ".join(str(e).split())[:160]
+            skipped.append(f"train: {type(e).__name__}: {msg}")
     else:
         skipped.append("train: budget")
 
