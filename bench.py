@@ -347,6 +347,54 @@ def _bench_e2e_stage(stage: int, step_sec: float | None):
     return out
 
 
+def _e2e_subprocess(stage: int, step_sec: float | None) -> dict:
+    """Run _bench_e2e_stage in a child process of this script and return its
+    JSON result. The child gets the parent's REMAINING budget (fresh
+    HI3D_BENCH_BUDGET_S — the child recomputes its deadline at import) and is
+    killed 30 s past it, so a hung backend RPC degrades to a skipped-metric
+    entry instead of a silent driver timeout."""
+    import subprocess
+    import sys
+
+    budget = max(_remaining(), 1.0)
+    env = dict(os.environ)
+    env["HI3D_BENCH_BUDGET_S"] = str(budget)
+    cmd = [sys.executable, os.path.abspath(__file__), "--e2e-sub", str(stage)]
+    if step_sec:
+        cmd += ["--step-sec", str(step_sec)]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=budget + 30,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"e2e stage {stage} subprocess hung past "
+                         f"{budget + 30:.0f} s budget — killed"}
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+    return {"error": f"rc={proc.returncode}: "
+                     + " ".join(" ".join(tail[-3:]).split())[:200]}
+
+
+def _e2e_sub_main(argv) -> None:
+    """Child entry (--e2e-sub): one e2e stage, one JSON line on stdout."""
+    stage = int(argv[argv.index("--e2e-sub") + 1])
+    step_sec = None
+    if "--step-sec" in argv:
+        step_sec = float(argv[argv.index("--step-sec") + 1])
+    try:
+        print(json.dumps(_bench_e2e_stage(stage, step_sec)))
+    except Exception as e:
+        msg = " ".join(str(e).split())[:300]
+        print(json.dumps({"error": f"{type(e).__name__}: {msg}"}))
+
+
 def _backend_reachable(timeout_s: float = 120.0) -> bool:
     """Probe the backend in a subprocess — a dead TPU tunnel makes
     jax.devices() hang forever in-process, which would turn a driver bench
@@ -408,26 +456,32 @@ def main() -> None:
 
     # the north-star per-asset marginals (VERDICT r2 #3). Warm program+compile
     # caches make these mostly device work; budget-gated like everything else.
-    # One retry per stage: the tunneled backend occasionally drops an RPC
-    # mid-run (observed round 3: a JaxRuntimeError on a path that reproduces
-    # clean), and a per-asset number is worth a second attempt if the budget
-    # still allows one.
+    # Each stage runs in a SUBPROCESS of this script (--e2e-sub): the denoise
+    # benches above leave a 16 GB chip fragmented enough to flake the full
+    # pipeline in-process (observed round 3: e2e_stage1 JaxRuntimeError), and
+    # a tunnel RPC that hangs mid-pipeline must not hang the whole bench past
+    # the driver timeout — the parent timeout-kills the child and still
+    # prints its one JSON line. One retry per stage if the budget allows.
     def _try_e2e(stage, step_sec, min_budget):
         if os.environ.get("HI3D_BENCH_E2E", "1") == "0" or _remaining() < min_budget:
             skipped.append(f"e2e_stage{stage}: budget")
             return
         for attempt in (1, 2):
+            err = None
             try:
-                extra.append(_bench_e2e_stage(stage, step_sec))
-                return
+                out = _e2e_subprocess(stage, step_sec)
             except Exception as e:
-                msg = " ".join(str(e).split())[:160]
-                skipped.append(
-                    f"e2e_stage{stage} attempt {attempt}: "
-                    f"{type(e).__name__}: {msg}"
-                )
-                if _remaining() < min_budget:
-                    return
+                out = {"error": f"{type(e).__name__}: {e}"}
+            err = out.get("error")
+            if not err:
+                extra.append(out)
+                return
+            skipped.append(
+                f"e2e_stage{stage} attempt {attempt}: "
+                + " ".join(str(err).split())[:160]
+            )
+            if _remaining() < min_budget:
+                return
 
     _try_e2e(1, primary["sec_per_step"], 120)
     _try_e2e(2, s2_step, 160)
@@ -449,4 +503,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--e2e-sub" in sys.argv:
+        _e2e_sub_main(sys.argv)
+    else:
+        main()
