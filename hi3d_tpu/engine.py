@@ -510,6 +510,43 @@ class VideoLDM(DiffusionEngine):
         self.trained_param_keys = list(trained_param_keys)
         super().__init__(*args, **kwargs)
 
+    @property
+    def num_samples(self) -> int:
+        return self._num_samples
+
+    @num_samples.setter
+    def num_samples(self, value: int) -> None:
+        """Changing the clip length retargets every frame-count-tied embedder.
+
+        Embedders whose `n_copies` equals the CURRENT clip length repeat
+        their output once per video frame (stage-1's
+        VideoPredictionEmbedderWithEncoder packs the frame-0 latent per
+        frame, configs/inference-v01.yaml n_copies: 16 == num_samples: 16);
+        per-video embedders (CLIP crossattn, n_copies: 1) stay fixed. The
+        CLIs' --clip_size relies on this — without it an 8-frame run
+        concatenates a 16-copy concat-cond onto an 8-frame latent batch."""
+        value = int(value)
+        old = getattr(self, "_num_samples", None)
+        self._num_samples = value
+        if old in (None, value):
+            return
+        cond = getattr(self, "conditioner", None)
+        if cond is not None:
+            for emb in getattr(cond, "embedders", []):
+                if getattr(emb, "n_copies", None) == old:
+                    emb.n_copies = value
+        # per-frame CFG guider: rescale the linspace over the new clip length
+        # (reference semantics — scale rises min→max over the clip,
+        # guiders.py linspace(min_scale, max_scale, num_frames))
+        guider = getattr(getattr(self, "sampler", None), "guider", None)
+        if guider is not None and getattr(guider, "num_frames", None) == old:
+            import jax.numpy as jnp
+
+            guider.num_frames = value
+            guider.scale = jnp.linspace(
+                guider.min_scale, guider.max_scale, value, dtype=jnp.float32
+            )
+
     def add_custom_cond(
         self, batch: Dict, infer: bool = False, rng: Optional[jax.Array] = None
     ) -> Dict:

@@ -197,6 +197,9 @@ class CrossAttention(nn.Module):
         if (
             _flash_padpack()
             and context is None
+            and not self.seg_len  # packed kernel has no block-diagonal mask:
+            # grouped-mode temporal sites (seg_len=T) must NOT take it, or
+            # frame-local attention silently becomes global attention
             and self.backend in ("auto", "flash")
             and 0 < self.dim_head < 128
         ):

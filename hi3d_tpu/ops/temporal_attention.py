@@ -19,9 +19,9 @@ VMEM, no online-softmax state, and zero HBM traffic for the scores.
 
 The mask wastes MXU slots (each 16-frame segment computes blk score columns
 instead of 16) — but the MXU was idle in the einsum formulation anyway, and
-the waste is pure compute: at blk=256, QK+PV for the whole stage-2 step is
-<1 ms of MXU time. Softmax cost scales with blk, so blk stays small-ish
-(HI3D_TEMPORAL_BLOCK, default 256).
+the waste is pure compute: at blk=512, QK+PV for the whole stage-2 step is
+~1 ms of MXU time. Softmax cost scales with blk, so blk stays moderate
+(HI3D_TEMPORAL_BLOCK, default 512 — the full-step sweep optimum).
 
 Backward: a single block-local kernel computes dq/dk/dv per tile from the
 forward lse (FlashAttention-2 Δ-trick, no attention rematerialization in

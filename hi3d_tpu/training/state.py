@@ -127,8 +127,11 @@ def build_optimizer(
         if params is None:
             raise ValueError("selective training needs `params` for the mask")
         mask = trainable_mask(params, trained_param_keys)
+        # string labels, not bools: jax.export (the disk program cache)
+        # serializes only string-keyed dicts, and the labels land in the
+        # MultiTransformState.inner_states keys of every train-step program
         tx = optax.multi_transform(
-            {True: tx, False: optax.set_to_zero()},
-            jax.tree.map(bool, mask),
+            {"train": tx, "freeze": optax.set_to_zero()},
+            jax.tree.map(lambda b: "train" if b else "freeze", mask),
         )
     return tx

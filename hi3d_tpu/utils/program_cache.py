@@ -46,6 +46,54 @@ _ENV_IGNORE = {
 
 _FINGERPRINT: Optional[str] = None
 _WARNED = set()
+_TYPES_REGISTERED = False
+
+
+def _register_export_types() -> None:
+    """jax.export refuses to (de)serialize pytrees containing unregistered
+    custom node types. Register — idempotently, best-effort — the ones our
+    cached programs carry: the optax optimizer-state namedtuples (train
+    step's opt_state) and the flax TrainState dataclass. Any individual
+    failure is harmless: aot_compile/ProgramJit fall back to plain jit."""
+    global _TYPES_REGISTERED
+    if _TYPES_REGISTERED:
+        return
+    _TYPES_REGISTERED = True
+    from jax import export as jexport
+
+    try:
+        import optax
+
+        for n in (
+            "EmptyState", "ScaleByAdamState", "ScaleByScheduleState",
+            "ScaleState", "MultiTransformState", "MaskedState",
+            "AddDecayedWeightsState", "TraceState", "ClipByGlobalNormState",
+            "MaskedNode",
+        ):
+            cls = getattr(optax, n, None)
+            if cls is None:
+                continue
+            try:
+                jexport.register_namedtuple_serialization(
+                    cls, serialized_name=f"optax.{n}"
+                )
+            except Exception:
+                pass  # already registered / not a namedtuple on this version
+    except Exception:
+        pass
+    try:
+        from ..training.state import TrainState
+
+        # flax struct dataclass: no static fields → auxdata carries nothing
+        jexport.register_pytree_node_serialization(
+            TrainState,
+            serialized_name="hi3d_tpu.training.state.TrainState",
+            serialize_auxdata=lambda aux: b"",
+            deserialize_auxdata=lambda b: None,
+            from_children=lambda aux, children: TrainState(*children),
+        )
+    except Exception:
+        pass
 
 
 def enabled() -> bool:
@@ -151,6 +199,7 @@ class ProgramJit:
     def __call__(self, *args):
         if not enabled() or self._extra is None or not self._disk_safe(args):
             return self._plain_jit()(*args)
+        _register_export_types()
         key_src = "\x00".join(
             (
                 self._name,
@@ -187,9 +236,14 @@ class ProgramJit:
                 exp = jax.export.export(jax.jit(self._fn))(*args)
                 os.makedirs(cache_dir(), exist_ok=True)
                 tmp = f"{path}.tmp.{os.getpid()}"
-                with open(tmp, "wb") as f:
-                    f.write(exp.serialize())
-                os.replace(tmp, path)
+                try:
+                    blob = exp.serialize()
+                    with open(tmp, "wb") as f:
+                        f.write(blob)
+                    os.replace(tmp, path)
+                finally:
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
                 call = jax.jit(exp.call)
             except Exception as e:
                 _warn_once(
@@ -200,6 +254,74 @@ class ProgramJit:
                 call = self._plain_jit()
         self._by_key[key] = call
         return call(*args)
+
+
+def aot_compile(jitted_fn, name: str, extra_key: Any, args: Tuple[Any, ...],
+                donate_argnums: Tuple[int, ...] = ()):
+    """AOT-compile `jitted_fn` at `args`, disk-caching the traced program.
+
+    Returns a compiled executable (``.cost_analysis()``-capable, call it with
+    ``args``). When a cached jax.export blob exists for (source fingerprint,
+    env flags, extra_key, arg avals), the Python re-trace is skipped — the
+    blob deserializes in ~0.1 s and the compile hits the persistent XLA
+    cache. bench.py uses this so a driver process after a pre-warmed round
+    pays seconds, not minutes, per metric graph (VERDICT r3 #1a). Any
+    failure falls back to ``jitted_fn.lower(*args).compile()``."""
+    fallback = lambda: jitted_fn.lower(*args).compile()
+    if not enabled():
+        return fallback()
+    try:
+        _register_export_types()
+        key_src = "\x00".join(
+            (
+                name,
+                _source_fingerprint(),
+                jax.default_backend(),
+                _env_key(),
+                repr(extra_key),
+                _args_key(args),
+            )
+        )
+        key = hashlib.sha256(key_src.encode()).hexdigest()[:24]
+        path = os.path.join(cache_dir(), f"{name}-{key}.jaxprog")
+        exp = None
+        if os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    exp = jax.export.deserialize(f.read())
+            except Exception as e:
+                _warn_once(
+                    f"load:{name}",
+                    f"ignoring stale program blob {path}: {type(e).__name__}",
+                )
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+        if exp is None:
+            exp = jax.export.export(jitted_fn)(*args)
+            os.makedirs(cache_dir(), exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            try:
+                blob = exp.serialize()  # before open: may raise on exotic trees
+                with open(tmp, "wb") as f:
+                    f.write(blob)
+                os.replace(tmp, path)
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+        return (
+            jax.jit(exp.call, donate_argnums=donate_argnums)
+            .lower(*args)
+            .compile()
+        )
+    except Exception as e:
+        _warn_once(
+            f"aot:{name}",
+            f"aot_compile failed for {name} "
+            f"({type(e).__name__}: {e}) — plain lower+compile fallback",
+        )
+        return fallback()
 
 
 def program_jit(fn, name: str, extra_key: Any = "") -> ProgramJit:

@@ -2,11 +2,11 @@
 
 - HI3D_GN twostage (default) vs flax — pure-XLA two-stage GroupNorm
   statistics (spatial-first lane-aligned reduction, ops/group_norm._group_stats);
-- HI3D_TEMPORAL_MODE grouped (default) / 4d / flat — temporal-attention
-  token layouts (models/video_attention._temporal_mode): location-major
-  grouped tokens with the block-local Pallas kernel, 4-D
-  (B, T, S, C) tokens (models/attention.TimeAxisCrossAttention), and the
-  reference's (B·S, T, C) flattening.
+- HI3D_TEMPORAL_MODE 4d (default) / grouped / flat — temporal-attention
+  token layouts (models/video_attention._temporal_mode): 4-D (B, T, S, C)
+  tokens (models/attention.TimeAxisCrossAttention, dispatching to the
+  block-local Pallas kernel), location-major grouped tokens (opt-in
+  bracket, measured slower), and the reference's (B·S, T, C) flattening.
 
 Both modes must be bit-compatible in structure (same param tree) and
 numerically equivalent within fp32 tolerance.

@@ -142,3 +142,85 @@ def test_crossattention_padpack_exact(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5
     )
+
+
+def _segment_ref(q, k, v, seg_len):
+    """Exact segment-local reference: reshape segments into the batch dim."""
+    b, s, h, d = q.shape
+    seg = lambda x: x.reshape(b * s // seg_len, seg_len, h, d)
+    return xla_attention(seg(q), seg(k), seg(v)).reshape(b, s, h, d)
+
+
+def test_seg_len_forward_matches_segment_batch():
+    """flash_attention(seg_len=T) == many independent T-long attentions:
+    the masked-kernel path used when the grouped temporal layout routes
+    frame-local attention through the flash entry."""
+    q, k, v = make_qkv()
+    seg = 16
+    out_ref = _segment_ref(q, k, v, seg)
+    out = jax.jit(
+        lambda q, k, v: flash_attention(
+            q, k, v, block_q=BLK, block_k=BLK, seg_len=seg
+        )
+    )(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_seg_len_gradients_match_segment_batch():
+    q, k, v = make_qkv()
+    seg = 16
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, block_q=BLK, block_k=BLK, seg_len=seg)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(_segment_ref(q, k, v, seg)))
+
+    gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_seg_len_spans_key_blocks():
+    """Segments wider than one k-block exercise the mask's cross-block
+    indexing (seg_len > block_k is the kernel's hardest masking case)."""
+    q, k, v = make_qkv()
+    seg = 128
+    out_ref = _segment_ref(q, k, v, seg)
+    out = jax.jit(
+        lambda q, k, v: flash_attention(
+            q, k, v, block_q=64, block_k=64, seg_len=seg
+        )
+    )(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_padpack_never_unmasks_segment_local_sites(monkeypatch):
+    """Regression (round-4 fix): CrossAttention(seg_len=T) with
+    HI3D_FLASH_PADPACK=1 must stay FRAME-LOCAL. Before the fix the padpack
+    fast-path (checked first, no mask support) silently computed global
+    attention across all locations at grouped-mode temporal sites."""
+    import hi3d_tpu.ops.attention as ops_attn
+    from hi3d_tpu.models.attention import CrossAttention
+
+    seg = 16
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 1024, 128), jnp.float32)
+    m = CrossAttention(heads=2, dim_head=64, seg_len=seg)
+    params = m.init(jax.random.PRNGKey(6), x)
+    ref = m.apply(params, x)  # segment-local XLA path (flash unavailable)
+
+    monkeypatch.setenv("HI3D_FLASH_PADPACK", "1")
+    monkeypatch.setattr(ops_attn, "_flash_available", lambda: True)
+    out = m.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5
+    )

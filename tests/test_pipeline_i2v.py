@@ -279,3 +279,26 @@ def test_uint8_output_matches_host_quantization(model):
     assert (diff == 0).mean() > 0.999
     # uint8 passthrough in tensor2vid
     assert np.array_equal(np.stack(tensor2vid(u8)), u8)
+
+
+def test_clip_size_retargets_frame_tied_components(model):
+    """Regression (round 4): --clip_size N must retarget every frame-count-
+    tied component — VideoPredictionEmbedderWithEncoder.n_copies and the
+    LinearPredictionGuider's per-frame scale linspace — not just
+    model.num_samples. Before the fix an N != config clip crashed with a
+    concat/reshape mismatch (16-copy concat-cond onto an N-frame batch)."""
+    t2 = 2
+    old = model.num_samples
+    try:
+        model.num_samples = t2
+        assert model.sampler.guider.num_frames == t2
+        assert model.sampler.guider.scale.shape == (t2,)
+        frames = np.zeros((t2, RES, RES, 3), np.float32)
+        out = generate_orbit(model, frames, elevation=0.0,
+                             rng=jax.random.PRNGKey(2))
+        assert out.shape == (t2, RES, RES, 3)
+        assert np.all(np.isfinite(out))
+    finally:
+        model.num_samples = old
+    # retarget is symmetric: the original clip length still runs
+    assert model.sampler.guider.num_frames == old

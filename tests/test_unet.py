@@ -305,10 +305,11 @@ def test_time_conv_matmul_lowering_matches_conv(monkeypatch):
 
 
 def test_time_conv_4d_lowering_matches_conv(monkeypatch):
-    """HI3D_TIME_CONV=conv4d (the default: whole time-stack ResBlock on
-    (B, T, H·W, C) with a (kt,1) 2-D conv) is exactly the nn.Conv((3,1,1))
-    lowering on the same param tree — including the skip_connection
-    pointwise conv when channels change."""
+    """HI3D_TIME_CONV=conv4d (opt-in bracket — shipped default is "conv",
+    which measured faster: 0.4275 vs 0.4166 steps/s stage-2) runs the whole
+    time-stack ResBlock on (B, T, H·W, C) with a (kt,1) 2-D conv; it must be
+    exactly the nn.Conv((3,1,1)) lowering on the same param tree — including
+    the skip_connection pointwise conv when channels change."""
     from hi3d_tpu.models.layers import ResBlock
 
     rnd = np.random.RandomState(1)
