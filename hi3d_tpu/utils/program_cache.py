@@ -100,6 +100,32 @@ def enabled() -> bool:
     return os.environ.get("HI3D_PROGRAM_CACHE", "1") != "0"
 
 
+def blob_backend_ok() -> bool:
+    """False on backends where a deserialized jax.export program is a
+    pessimization. Measured on the tunneled `axon` TPU backend (round 4,
+    BASELINE.md): executing a DESERIALIZED program defers its real
+    server-side compile to first execution (~90-190 s, bypassing the
+    persistent XLA compilation cache) and `block_until_ready` returns
+    before materialization — a bench built on it recorded a physically
+    impossible 162 steps/s. Plain re-trace + persistent-cache compile costs
+    ~13 s there, so blobs lose — the whole blob path (write and reuse) is
+    skipped and callers behave as plain jit, leaving the persistent XLA
+    cache as the cross-process cache. HI3D_PROGRAM_CACHE_FORCE=1 overrides
+    for A/B measurement.
+
+    Detection: the tunnel canonicalizes its platform name to "tpu"
+    (jax.default_backend() == "tpu", devices[0].platform == "tpu"), so the
+    only reliable marker is the PJRT platform_version string, which carries
+    "axon <version>"."""
+    if os.environ.get("HI3D_PROGRAM_CACHE_FORCE", "0") == "1":
+        return True
+    try:
+        version = jax.devices()[0].client.platform_version
+    except Exception:
+        return True
+    return "axon" not in version.lower()
+
+
 def cache_dir() -> str:
     return os.environ.get(
         "HI3D_PROGRAM_CACHE_DIR",
@@ -197,7 +223,12 @@ class ProgramJit:
         return True
 
     def __call__(self, *args):
-        if not enabled() or self._extra is None or not self._disk_safe(args):
+        if (
+            not enabled()
+            or not blob_backend_ok()
+            or self._extra is None
+            or not self._disk_safe(args)
+        ):
             return self._plain_jit()(*args)
         _register_export_types()
         key_src = "\x00".join(
@@ -268,7 +299,7 @@ def aot_compile(jitted_fn, name: str, extra_key: Any, args: Tuple[Any, ...],
     pays seconds, not minutes, per metric graph (VERDICT r3 #1a). Any
     failure falls back to ``jitted_fn.lower(*args).compile()``."""
     fallback = lambda: jitted_fn.lower(*args).compile()
-    if not enabled():
+    if not enabled() or not blob_backend_ok():
         return fallback()
     try:
         _register_export_types()
