@@ -113,8 +113,10 @@ def _flash_padpack() -> bool:
     (B,S,H,D)→(B·H,S,D) transposes the 3-D kernel needs vanish — profiled
     at ~150 ms of the 2.34 s stage-2 step (copy bucket + transposed-layout
     fusions, BASELINE.md round-3). Cost: q/k/v/out projections compute 2×
-    lanes, and the kernel streams 2× bytes per k/v tile. Opt-in pending
-    full-step A/B on the chip."""
+    lanes, and the kernel streams 2× bytes per k/v tile. MEASURED round 4
+    (BASELINE.md round-4 closure): 0.425 vs 0.4437 steps/s stage-2 —
+    the padded-lane compute (+4.5% TF/step) repays the saved transposes
+    exactly (MFU unchanged); kept opt-in, closed by measurement."""
     import os
 
     return os.environ.get("HI3D_FLASH_PADPACK", "0") == "1"

@@ -144,8 +144,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
     def _():
         l = l_scr[:, :1]
         o_ref[0] = (acc_scr[...] / l).astype(o_ref.dtype)
-        # natural-log lse: m·ln2 + log(l)
-        lse_ref[0] = m_scr[:, :1] * _LN_2 + jnp.log(l)
+        # natural-log lse: m·ln2 + log(l). reshape-write: the packed-heads
+        # path hands a 4-D (1, 1, block_q, 1) lse block (Mosaic needs the
+        # last block dim equal to the array dim), the 3-D path (1, block_q, 1)
+        lse_ref[...] = (m_scr[:, :1] * _LN_2 + jnp.log(l)).reshape(
+            lse_ref.shape
+        )
 
 
 def _fwd_kernel_vaug(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *,
@@ -200,7 +204,9 @@ def _fwd_kernel_vaug(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *,
     def _():
         l = acc_scr[:, d:d + 1]
         o_ref[0] = (acc_scr[:, :d] / l).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[:, :1] * _LN_2 + jnp.log(l)
+        lse_ref[...] = (m_scr[:, :1] * _LN_2 + jnp.log(l)).reshape(
+            lse_ref.shape
+        )
 
 
 def _fwd_kernel_kt(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
@@ -337,11 +343,14 @@ def _fwd_packed(qp, kp, vp, heads, scale, block_q, block_k):
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, h, i, j: (b, i, h)),
-            pl.BlockSpec((1, block_q, 1), lambda b, h, i, j: (b, i, h)),
+            # lse is (B, H, S, 1), NOT (B, S, H): Mosaic requires the last
+            # block dim be 128-divisible or equal to the array dim — a
+            # 1-wide head block over a heads-wide last axis cannot lower
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, sq, hd), qp.dtype),
-            jax.ShapeDtypeStruct((b, sq, heads), jnp.float32),
+            jax.ShapeDtypeStruct((b, heads, sq, 1), jnp.float32),
         ],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
@@ -378,7 +387,7 @@ def _flash_packed_bwd(heads, scale, block_q, block_k, res, g):
             b * heads, s, d
         )
 
-    lse3 = lse.transpose(0, 2, 1).reshape(b * heads, sq, 1)
+    lse3 = lse.reshape(b * heads, sq, 1)  # (B, H, S, 1) → free reshape
     dq3, dk3, dv3 = _bwd(
         scale, block_q, block_k,
         (to3(qp, sq), to3(kp, sk), to3(vp, sk), to3(out, sq), lse3),

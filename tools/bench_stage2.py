@@ -59,28 +59,52 @@ def main() -> None:
         {"target": "sgm.modules.diffusionmodules.denoiser_scaling.VScalingWithEDMcNoise"}
     )
 
-    @jax.jit
     def step(params, x, sigma, concat, ctx, y):
         network = wrapper.bind(
             params, num_video_frames=T, image_only_indicator=ind
         )
-        return denoiser(
+        out = denoiser(
             network, x, sigma, {"concat": concat, "crossattn": ctx, "vector": y}
         )
+        return out.astype(x.dtype)  # chainable: step i feeds step i+1
+
+    compiled = jax.jit(step).lower(params, x, sigma, concat, ctx, y).compile()
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", -1.0)) or None
+        flops = flops if flops and flops > 0 else None
+    except Exception:
+        flops = None
+
+    # honest timing on the tunneled backend (bench.py round-4 rationale):
+    # chain each step's output into the next step's input and end with a
+    # host readback — block_until_ready alone can return before execution
+    # and identical (program, args) calls can short-circuit
+    def _materialize(a):
+        jax.device_get(a[0, 0, 0, 0])
 
     for _ in range(WARMUP):
-        jax.block_until_ready(step(params, x, sigma, concat, ctx, y))
+        x = compiled(params, x, sigma, concat, ctx, y)
+    _materialize(x)
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        out = step(params, x, sigma, concat, ctx, y)
-    jax.block_until_ready(out)
+        x = compiled(params, x, sigma, concat, ctx, y)
+    _materialize(x)
     dt = (time.perf_counter() - t0) / STEPS
-    print(json.dumps({
+    out = {
         "metric": "unet_denoise_steps_per_sec_chip_stage2_1024",
         "value": round(1.0 / dt, 4),
         "unit": "steps/sec/chip",
         "sec_per_step": round(dt, 3),
-    }))
+    }
+    if flops is not None:
+        out["tflops_per_step"] = round(flops / 1e12, 2)
+        kind = jax.devices()[0].device_kind.lower()
+        if "v5 lite" in kind or "v5e" in kind:
+            out["mfu"] = round(flops / dt / 197e12, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -103,13 +103,18 @@ def main() -> None:
     step_fn = step_fn_plain
     rng = jax.random.PRNGKey(0)
 
+    # the state chain makes steps data-dependent; end with host readbacks —
+    # block_until_ready can return before execution on the tunneled backend
+    # (bench.py round-4 rationale)
     for i in range(WARMUP):
         state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(state.params)
+    jax.device_get(metrics["loss"])
+    jax.device_get(jax.tree.leaves(state.params)[0].ravel()[0])
     t0 = time.perf_counter()
     for i in range(STEPS):
         state, metrics = step_fn(state, batch, jax.random.fold_in(rng, 100 + i))
-    jax.block_until_ready(state.params)
+    jax.device_get(metrics["loss"])
+    jax.device_get(jax.tree.leaves(state.params)[0].ravel()[0])
     dt = (time.perf_counter() - t0) / STEPS
     print(json.dumps({
         "metric": "train_steps_per_sec_chip_stage1_512_svd_adapt",
