@@ -27,6 +27,17 @@ Backward: a single block-local kernel computes dq/dk/dv per tile from the
 forward lse (FlashAttention-2 Δ-trick, no attention rematerialization in
 XLA). Training sites sit under remat; both directions stay exact.
 
+Two kernel layouts ship (HI3D_TEMPORAL_LAYOUT):
+- "natural" (default): consumes the projection output layout (B, T, S, C)
+  directly via full-channel BlockSpec tiles with a static in-kernel head
+  loop — zero HBM layout changes in or out. Tokens are frame-major inside
+  a tile, so the segment mask is strided (i % blk_s == j % blk_s); the
+  backward recomputes softmax stats (no lse round-trip — the tile is its
+  tokens' whole attention range).
+- "lm": the round-3 location-major kernel behind explicit t<->s transposes
+  (those transposes materialize as HBM copies — ~55 ms/step on the stage-2
+  profile — which is why "natural" exists).
+
 Parity: same math as ops.attention.xla_attention_time's self-attention
 branch (fp32 softmax, fp32 accumulation); tested against it in
 tests/test_temporal_kernel.py on CPU (interpret) and TPU.
@@ -229,6 +240,208 @@ def temporal_block_attention(
     return out3.reshape(b, h, st, d).transpose(0, 2, 1, 3).astype(dt)
 
 
+# --------------------------------------------------------------------------
+# natural-layout kernel (zero HBM transposes)
+# --------------------------------------------------------------------------
+#
+# The location-major entry above is exact but pays one HBM transpose pass per
+# tensor on the way in and out ((B,T,S,H,D) -> (B*H, S*T, D) and back) —
+# attributed at ~55 ms of the 2.25 s stage-2 step (BASELINE round-4
+# itemization; the docstring's "XLA fuses those" claim was measured false:
+# the copies materialize). The natural-layout kernel below reads the
+# projection output layout (B, T, S, C) DIRECTLY via BlockSpec — each grid
+# step (b, i) streams the all-frames spatial slab (T, blk_s, C) as
+# blk_s*C-contiguous DMA runs — and loops heads statically in-kernel with
+# static lane slices. Tokens inside a tile are FRAME-major (row t*blk_s + s),
+# so the segment mask becomes strided: query i attends key j iff
+# i % blk_s == j % blk_s. Same (q, k) pair set and fp32 softmax as the
+# location-major kernel under a token permutation — exactness tested against
+# it and against ops.attention.xla_attention_time in
+# tests/test_temporal_kernel.py.
+
+
+def _nat_default_blk_s(s: int, t: int, c: int) -> int:
+    """Largest spatial block ≤ HI3D_TEMPORAL_BLKS (default 32 → 512 tokens
+    at T=16, matching the location-major kernel's measured blk=512 optimum)
+    that divides S, is sublane-aligned, and keeps a (T, blk_s, C) bf16 tile
+    under ~640 KB so the backward's 8 double-buffered blocks fit VMEM at the
+    C=1280 low-resolution levels. 0 when none exists."""
+    cap = int(os.environ.get("HI3D_TEMPORAL_BLKS", 32))
+    budget = 640 * 1024
+    while cap >= 8 and t * cap * c * 2 > budget:
+        cap //= 2
+    blk = min(cap, s)
+    while blk >= 8:
+        if s % blk == 0 and blk % 8 == 0:
+            return blk
+        blk -= 8
+    return 0
+
+
+def _nat_mask(n: int, blk_s: int):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) % blk_s
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) % blk_s
+    return rows == cols
+
+
+def _nat_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                    heads: int, dh: int):
+    t, blk_s, c = q_ref.shape[1:]
+    n = t * blk_s
+    q = q_ref[0].reshape(n, c)
+    k = k_ref[0].reshape(n, c)
+    v = v_ref[0].reshape(n, c)
+    mask = _nat_mask(n, blk_s)
+    for h in range(heads):
+        lo, hi = h * dh, (h + 1) * dh
+        s = (scale * _LOG2_E) * jax.lax.dot_general(
+            q[:, lo:hi], k[:, lo:hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(mask, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot(
+            p.astype(v.dtype), v[:, lo:hi],
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, :, lo:hi] = (acc / l).astype(o_ref.dtype).reshape(
+            t, blk_s, dh
+        )
+
+
+def _nat_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
+                    dq_ref, dk_ref, dv_ref, *, scale: float, heads: int,
+                    dh: int):
+    # No saved lse: the tile is its tokens' entire attention range, so the
+    # softmax stats recompute exactly from the recomputed scores (flash
+    # kernels must save lse only because their kv loop streams).
+    t, blk_s, c = q_ref.shape[1:]
+    n = t * blk_s
+    q = q_ref[0].reshape(n, c)
+    k = k_ref[0].reshape(n, c)
+    v = v_ref[0].reshape(n, c)
+    o = o_ref[0].reshape(n, c)
+    do = do_ref[0].reshape(n, c)
+    mask = _nat_mask(n, blk_s)
+    dt = q.dtype
+    for h in range(heads):
+        lo, hi = h * dh, (h + 1) * dh
+        s = (scale * _LOG2_E) * jax.lax.dot_general(
+            q[:, lo:hi], k[:, lo:hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(mask, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp2(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        do_h = do[:, lo:hi]
+        dv_ref[0, :, :, lo:hi] = jax.lax.dot_general(
+            p.astype(dt), do_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype).reshape(t, blk_s, dh)
+        dp = jax.lax.dot_general(
+            do_h, v[:, lo:hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jnp.sum(
+            do_h.astype(jnp.float32) * o[:, lo:hi].astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )
+        ds = (p * (dp - delta)).astype(dt)
+        dk_ref[0, :, :, lo:hi] = (jax.lax.dot_general(
+            ds, q[:, lo:hi], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dk_ref.dtype).reshape(t, blk_s, dh)
+        dq_ref[0, :, :, lo:hi] = (jax.lax.dot(
+            ds, k[:, lo:hi], preferred_element_type=jnp.float32
+        ) * scale).astype(dq_ref.dtype).reshape(t, blk_s, dh)
+
+
+def _nat_fwd(q4, k4, v4, scale: float, blk_s: int, heads: int, dh: int):
+    b, t, s, c = q4.shape
+    grid = (b, s // blk_s)
+    spec = pl.BlockSpec((1, t, blk_s, c), lambda b_, i: (b_, 0, i, 0))
+    return pl.pallas_call(
+        functools.partial(_nat_fwd_kernel, scale=scale, heads=heads, dh=dh),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(q4.shape, q4.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_interpret(),
+    )(q4, k4, v4)
+
+
+def _nat_bwd(q4, k4, v4, out, g, scale: float, blk_s: int, heads: int,
+             dh: int):
+    b, t, s, c = q4.shape
+    grid = (b, s // blk_s)
+    spec = pl.BlockSpec((1, t, blk_s, c), lambda b_, i: (b_, 0, i, 0))
+    return pl.pallas_call(
+        functools.partial(_nat_bwd_kernel, scale=scale, heads=heads, dh=dh),
+        grid=grid,
+        in_specs=[spec, spec, spec, spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct(q4.shape, q4.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_interpret(),
+    )(q4, k4, v4, out, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _nat_local(q4, k4, v4, scale, blk_s, heads, dh):
+    return _nat_fwd(q4, k4, v4, scale, blk_s, heads, dh)
+
+
+def _nat_local_fwd(q4, k4, v4, scale, blk_s, heads, dh):
+    out = _nat_fwd(q4, k4, v4, scale, blk_s, heads, dh)
+    return out, (q4, k4, v4, out)
+
+
+def _nat_local_bwd(scale, blk_s, heads, dh, res, g):
+    q4, k4, v4, out = res
+    return _nat_bwd(q4, k4, v4, out, g, scale, blk_s, heads, dh)
+
+
+_nat_local.defvjp(_nat_local_fwd, _nat_local_bwd)
+
+
+def natural_layout_enabled() -> bool:
+    """HI3D_TEMPORAL_LAYOUT: "natural" (default — zero-transpose kernel on
+    the projection layout) or "lm" (location-major kernel behind explicit
+    t↔s transposes; the round-3 shipped path, kept as the revert switch)."""
+    return os.environ.get("HI3D_TEMPORAL_LAYOUT", "natural") == "natural"
+
+
+def temporal_attention_natural(
+    q5: jax.Array,
+    k5: jax.Array,
+    v5: jax.Array,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """(B, T, S, H, D) frame-axis self-attention, zero HBM layout changes:
+    the (B,T,S,H·D) view is the projection output's own layout."""
+    b, t, s, h, d = q5.shape
+    if scale is None:
+        scale = d**-0.5
+    blk_s = _nat_default_blk_s(s, t, h * d)
+    dt = jnp.result_type(q5.dtype, k5.dtype, v5.dtype)
+
+    def to4(x):
+        return x.astype(dt).reshape(b, t, s, h * d)
+
+    out = _nat_local(
+        to4(q5), to4(k5), to4(v5), float(scale), blk_s, h, d
+    )
+    return out.reshape(b, t, s, h, d)
+
+
 def temporal_attention_supported(q_shape, k_shape) -> bool:
     """True when the block-local kernel handles this (q, k) self-attention
     pair coming from ops.attention.xla_attention_time's 5-D layout."""
@@ -239,6 +452,8 @@ def temporal_attention_supported(q_shape, k_shape) -> bool:
     b, t, s, h, d = q_shape
     if t < 2 or d > 256:
         return False
+    if natural_layout_enabled() and _nat_default_blk_s(s, t, h * d) >= 8:
+        return True
     return default_block(t, s * t) >= 8
 
 
@@ -248,16 +463,20 @@ def temporal_attention_fused(
     v5: jax.Array,
     scale: Optional[float] = None,
 ) -> jax.Array:
-    """(B, T, S, H, D) frame-axis self-attention via the block-local kernel.
+    """(B, T, S, H, D) frame-axis self-attention.
 
-    This ops-level entry pays one layout transpose per tensor (t↔s swap to
-    reach the location-major order); XLA fuses those into the surrounding
-    elementwise chains. The model-level grouped token path
-    (models.video_attention HI3D_TEMPORAL_MODE=grouped) hoists the cost to
-    one explicit transpose per block instead — measured SLOWER on the
-    stage-2 step (0.4316 vs 0.4434 steps/s), so this entry is the default
-    path."""
+    Dispatch: the natural-layout kernel (zero HBM layout changes) when its
+    tiling fits, else the location-major kernel behind explicit t↔s
+    transposes. Round-3's docstring claimed XLA fuses those transposes into
+    the surrounding elementwise chains — the round-4 HLO attribution measured
+    that false (~55 ms/step of materialized copies on the stage-2 step),
+    which is what the natural-layout path eliminates. The model-level grouped
+    token path (models.video_attention HI3D_TEMPORAL_MODE=grouped) hoists the
+    cost to one explicit transpose per block instead — measured SLOWER
+    (0.4316 vs 0.4434 steps/s), so this entry is the default path."""
     b, t, s, h, d = q5.shape
+    if natural_layout_enabled() and _nat_default_blk_s(s, t, h * d) >= 8:
+        return temporal_attention_natural(q5, k5, v5, scale=scale)
 
     def to_lm(x):  # (B,T,S,H,D) → (B, S·T, H, D), location-major
         return x.transpose(0, 2, 1, 3, 4).reshape(b, s * t, h, d)

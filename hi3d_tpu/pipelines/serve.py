@@ -26,6 +26,60 @@ from ..parallel.mesh import batch_sharding, get_mesh
 from .i2v import UC_ZERO_KEYS
 
 
+def _replicate(tree, mesh):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    return jax.tree.map(lambda v: jax.device_put(v, rep), tree)
+
+
+def _replicated_params(model, mesh):
+    """A mesh-replicated COPY of the model's UNet params (None if unset).
+
+    The engine's one-program compute-dtype cast leaves params committed to
+    device 0; jax.jit refuses a call mixing those with mesh-sharded batch
+    args ("Received incompatible devices for jitted computation") instead of
+    resharding. The servers therefore keep their own replicated copy and
+    thread it through `params=` — the model object is NOT mutated, so
+    single-device use of the same model elsewhere keeps its placement. On a
+    real pod the transfer happens once at construction, not per request."""
+    if getattr(model, "params", None) is None:
+        return None
+    return _replicate(model.params, mesh)
+
+
+class _fs_params_on_mesh:
+    """Scoped swap of first_stage_model.params for a mesh-replicated copy.
+
+    The VAE encode/decode entries read `self.params` (no override arg), so
+    sharded-batch encode/decode needs the weights mesh-placed for the call;
+    the swap is restored on exit so the model keeps its single-device
+    placement for other users (the engine object is shared with CLI paths
+    and tests)."""
+
+    def __init__(self, model, rep):
+        self._fs = getattr(model, "first_stage_model", None)
+        self._rep = rep
+
+    def __enter__(self):
+        if self._fs is not None and self._rep is not None:
+            self._old = self._fs.params
+            self._fs.params = self._rep
+        return self
+
+    def __exit__(self, *exc):
+        if self._fs is not None and self._rep is not None:
+            self._fs.params = self._old
+        return False
+
+
+def _replicated_fs_params(model, mesh):
+    fs = getattr(model, "first_stage_model", None)
+    if fs is None or getattr(fs, "params", None) is None:
+        return None
+    return _replicate(fs.params, mesh)
+
+
 def _mesh_put(mesh):
     """Per-array placement: shard the leading axis over "data" when it
     divides, replicate otherwise. Shared by both servers."""
@@ -45,6 +99,8 @@ class OrbitServer:
     def __init__(self, model, mesh=None):
         self.model = model
         self.mesh = mesh if mesh is not None else get_mesh()
+        self._params = _replicated_params(model, self.mesh)
+        self._fs_params = _replicated_fs_params(model, self.mesh)
 
     def _shard(self, tree: Dict) -> Dict:
         return jax.tree.map(_mesh_put(self.mesh), tree)
@@ -91,10 +147,12 @@ class OrbitServer:
             shape=(b * t, h // 8, w // 8, 4),
             num_video_frames=t,
             rng=r_sample,
+            params=self._params,
             encoder_reuse=encoder_reuse,
             cfg_interval=cfg_interval,
         )
-        decoded = model.decode_first_stage(samples)
+        with _fs_params_on_mesh(model, self._fs_params):
+            decoded = model.decode_first_stage(samples)
         if output_dtype == "uint8":
             from ..utils.video import denorm_to_uint8
 
@@ -117,6 +175,8 @@ class RefineServer:
     def __init__(self, model, mesh=None):
         self.model = model
         self.mesh = mesh if mesh is not None else get_mesh()
+        self._params = _replicated_params(model, self.mesh)
+        self._fs_params = _replicated_fs_params(model, self.mesh)
 
     def refine(
         self,
@@ -138,18 +198,20 @@ class RefineServer:
                 f"batch×frames {b}·{t} not divisible by data axis {n}"
             )
 
-        return blend_refine_batch(
-            self.model,
-            videos,
-            masks=masks,
-            elevations=elevations,
-            rng=rng,
-            steps_per_launch=steps_per_launch,
-            shard=_mesh_put(self.mesh),
-            encoder_reuse=encoder_reuse,
-            cfg_interval=cfg_interval,
-            output_dtype=output_dtype,
-        )
+        with _fs_params_on_mesh(self.model, self._fs_params):
+            return blend_refine_batch(
+                self.model,
+                videos,
+                masks=masks,
+                elevations=elevations,
+                rng=rng,
+                steps_per_launch=steps_per_launch,
+                params=self._params,
+                shard=_mesh_put(self.mesh),
+                encoder_reuse=encoder_reuse,
+                cfg_interval=cfg_interval,
+                output_dtype=output_dtype,
+            )
 
 
 class TwoStageServer:

@@ -84,6 +84,7 @@ def blend_refine_batch(
     elevations: Optional[Sequence[float]] = None,
     rng: Optional[jax.Array] = None,
     steps_per_launch: Optional[int] = 8,
+    params=None,  # override weight tree (serve.py passes mesh-replicated)
     shard=None,  # callable applied to per-frame arrays (mesh placement)
     init_noise: Optional[jax.Array] = None,  # (B·T, h/8, w/8, 4) unit noise
     batch_overrides: Optional[Dict] = None,  # applied after add_custom_cond
@@ -170,7 +171,7 @@ def blend_refine_batch(
     dfn = model.make_denoiser_fn_p(t)
     s_in = jnp.ones((b * t,), jnp.float32)
     dtype = model.compute_dtype
-    use_params = model.params
+    use_params = params if params is not None else model.params
 
     # the 25-step 1024² scan runs >60 s of device time in one executable,
     # which trips single-launch watchdogs; split it into several launches of

@@ -22,6 +22,7 @@ def _rand(key, shape, dtype):
     return jax.random.normal(key, shape, jnp.float32).astype(dtype)
 
 
+@pytest.mark.parametrize("layout", ["natural", "lm"])
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 @pytest.mark.parametrize(
     "b,t,s,h,d",
@@ -31,7 +32,8 @@ def _rand(key, shape, dtype):
         (2, 8, 64, 3, 32),     # odd sizes
     ],
 )
-def test_fused_matches_xla(b, t, s, h, d, dtype):
+def test_fused_matches_xla(b, t, s, h, d, dtype, layout, monkeypatch):
+    monkeypatch.setenv("HI3D_TEMPORAL_LAYOUT", layout)
     keys = jax.random.split(jax.random.PRNGKey(0), 3)
     q = _rand(keys[0], (b, t, s, h, d), dtype)
     k = _rand(keys[1], (b, t, s, h, d), dtype)
@@ -47,7 +49,9 @@ def test_fused_matches_xla(b, t, s, h, d, dtype):
     )
 
 
-def test_fused_grad_matches_xla():
+@pytest.mark.parametrize("layout", ["natural", "lm"])
+def test_fused_grad_matches_xla(layout, monkeypatch):
+    monkeypatch.setenv("HI3D_TEMPORAL_LAYOUT", layout)
     keys = jax.random.split(jax.random.PRNGKey(1), 3)
     shape = (1, 8, 64, 2, 16)
     q, k, v = (_rand(keys[i], shape, jnp.float32) for i in range(3))
@@ -118,3 +122,58 @@ def test_dispatch_through_xla_attention_time(monkeypatch):
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=2e-2, rtol=2e-2,
     )
+
+
+def test_natural_matches_location_major():
+    """The natural-layout kernel is the location-major kernel under a token
+    permutation — same (q, k) pair set, same fp32 softmax. Equality fwd+bwd
+    at a shape where the two tile differently (s=256, blk_s=32 vs blk=512)."""
+    from hi3d_tpu.ops.temporal_attention import temporal_attention_natural
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    shape = (2, 16, 256, 5, 64)
+    q, k, v = (_rand(keys[i], shape, jnp.bfloat16) for i in range(3))
+
+    def loss_nat(q, k, v):
+        return jnp.sum(temporal_attention_natural(q, k, v) ** 2)
+
+    def loss_lm(q, k, v):
+        import os
+
+        os.environ["HI3D_TEMPORAL_LAYOUT"] = "lm"
+        try:
+            return jnp.sum(temporal_attention_fused(q, k, v) ** 2)
+        finally:
+            del os.environ["HI3D_TEMPORAL_LAYOUT"]
+
+    got = jax.jit(temporal_attention_natural)(q, k, v)
+    import os
+
+    os.environ["HI3D_TEMPORAL_LAYOUT"] = "lm"
+    try:
+        want = jax.jit(temporal_attention_fused)(q, k, v)
+    finally:
+        del os.environ["HI3D_TEMPORAL_LAYOUT"]
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+    g_nat = jax.jit(jax.grad(loss_nat, argnums=(0, 1, 2)))(q, k, v)
+    g_lm = jax.jit(jax.grad(loss_lm, argnums=(0, 1, 2)))(q, k, v)
+    for gn, gl in zip(g_nat, g_lm):
+        np.testing.assert_allclose(
+            np.asarray(gn, np.float32), np.asarray(gl, np.float32),
+            atol=5e-2, rtol=5e-2,
+        )
+
+
+def test_natural_blk_s_vmem_budget():
+    from hi3d_tpu.ops.temporal_attention import _nat_default_blk_s
+
+    # stage-2 top level: C=320 → full 32-wide slab (512 tokens at T=16)
+    assert _nat_default_blk_s(16384, 16, 320) == 32
+    # C=1280 low-res level: tile capped to fit the backward's 8 double-
+    # buffered VMEM blocks (16·32·1280·2 B = 1.25 MB > 640 KB budget)
+    assert _nat_default_blk_s(256, 16, 1280) == 16
+    # S not divisible by any sublane-aligned block → unsupported (0)
+    assert _nat_default_blk_s(100, 16, 320) == 0
