@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 
 import jax
@@ -406,27 +407,60 @@ def _e2e_subprocess(stage: int, step_sec: float | None,
         budget = max(min(budget, budget_cap), 1.0)
     env = dict(os.environ)
     env["HI3D_BENCH_BUDGET_S"] = str(budget)
+    # phase timers stream each pipeline phase to stderr as it completes, so
+    # a timeout-kill still yields a diagnosis (which phase hung/overran) —
+    # round 4's bare "hung past 139 s — killed" was undiagnosable
+    env["HI3D_TIME_PHASES"] = "1"
     cmd = [sys.executable, os.path.abspath(__file__), "--e2e-sub", str(stage)]
     if step_sec:
         cmd += ["--step-sec", str(step_sec)]
+
+    def _phase_tail(stderr) -> str:
+        if isinstance(stderr, bytes):
+            stderr = stderr.decode("utf-8", "replace")
+        lines = [
+            ln.strip() for ln in (stderr or "").splitlines()
+            if ln.strip().startswith("[phase")
+        ]
+        return "; ".join(lines[-4:]) if lines else "no phase marks reached"
+
     try:
         proc = subprocess.run(
             cmd, capture_output=True, text=True, timeout=budget + 30,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+            cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
         )
-    except subprocess.TimeoutExpired:
-        return {"error": f"e2e stage {stage} subprocess hung past "
-                         f"{budget + 30:.0f} s budget — killed"}
+    except subprocess.TimeoutExpired as e:
+        return {"error": f"e2e stage {stage} subprocess past "
+                         f"{budget + 30:.0f} s budget — killed; child phases: "
+                         + _phase_tail(e.stderr)}
+    out = None
     for line in reversed(proc.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
             try:
-                return json.loads(line)
+                out = json.loads(line)
+                break
             except json.JSONDecodeError:
                 continue
-    tail = (proc.stderr or proc.stdout or "").strip().splitlines()
-    return {"error": f"rc={proc.returncode}: "
-                     + " ".join(" ".join(tail[-3:]).split())[:200]}
+    if out is None:
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+        return {"error": f"rc={proc.returncode}: "
+                         + " ".join(" ".join(tail[-3:]).split())[:200]}
+    if "error" not in out:
+        # per-phase seconds of the WARM run (the last complete set of phase
+        # lines): powers the projection's derived tail and an s2_step
+        # fallback when the stage-2 step metric is budget-skipped
+        phases = {}
+        for ln in (proc.stderr or "").splitlines():
+            m = re.match(r"\[phase:stage\d\] (\S+) ([\d.]+)s", ln.strip())
+            if m:
+                name = m.group(1)
+                if name == "add_custom_cond" and phases:
+                    phases = {}  # a new run started — keep only the last
+                phases[name] = float(m.group(2))
+        if phases:
+            out["phases"] = phases
+    return out
 
 
 def _e2e_sub_main(argv) -> None:
@@ -494,56 +528,26 @@ def main() -> None:
     extra = []
     s2_step = None
 
-    # Budget plan (VERDICT r3 #1c): the e2e per-asset marginals are the
-    # north-star record — RESERVE their budget up front. Cheap step metrics
-    # (stage-2, train) run first only while the reservation stays intact;
-    # otherwise they're skipped in favor of the e2es. Estimates are warm-
-    # cache costs; elapsed_s per metric makes any starvation diagnosable.
-    RESERVE_E2E1 = 130.0  # warm e2e1 subprocess ≈ 110 s
-    RESERVE_E2E2 = 215.0  # warm e2e2 subprocess ≈ 175 s
-    EST_S2 = 65.0
-    EST_TRAIN = 50.0
+    # Budget plan (VERDICT r4 #1): metric order is PRIORITY order — the
+    # north-star e2e1 immediately after the primary (fourth consecutive
+    # round it was asked for), then the train step (third ask), then the
+    # stage-2 step rate, then e2e2 with whatever remains. Reservation
+    # constants are round-5 MEASURED warm-cache costs on the axon backend
+    # with program-cache blobs governed by utils/program_cache (BASELINE.md
+    # round-5 cold-start section) — round 4 lost both e2es to constants
+    # calibrated under a different blob policy.
+    EST_E2E1 = 170.0   # measured warm e2e1 subprocess (blobs per policy)
+    EST_TRAIN = 55.0   # measured r04: ~50 s warm
+    EST_S2 = 100.0     # measured r04: 93 s warm
+    MIN_E2E2 = 150.0   # below this a 25-step stage-2 child cannot finish
 
-    if _remaining() > EST_S2 + RESERVE_E2E1 + RESERVE_E2E2:
-        try:
-            m = _timed(
-                _bench_denoise,
-                "unet_denoise_steps_per_sec_chip_stage2_1024",
-                17, 512, STAGE2_HW, peak,
-            )
-            s2_step = m["sec_per_step"]
-            extra.append(m)
-        except Exception as e:  # OOM/compile failure must not kill the line
-            msg = " ".join(str(e).split())[:160]
-            skipped.append(f"stage2: {type(e).__name__}: {msg}")
-    else:
-        skipped.append(f"stage2: budget (remaining {_remaining():.0f}s, "
-                       f"e2e reserve {RESERVE_E2E1 + RESERVE_E2E2:.0f}s)")
-
-    if _remaining() > EST_TRAIN + RESERVE_E2E1 + RESERVE_E2E2:
-        try:
-            extra.append(_timed(_bench_train, peak))
-        except Exception as e:
-            msg = " ".join(str(e).split())[:160]
-            skipped.append(f"train: {type(e).__name__}: {msg}")
-    else:
-        skipped.append(f"train: budget (remaining {_remaining():.0f}s, "
-                       f"e2e reserve {RESERVE_E2E1 + RESERVE_E2E2:.0f}s)")
-
-    # the north-star per-asset marginals (VERDICT r2 #3, r3 #1). Warm
-    # program+compile caches make these mostly device work. Each stage runs
-    # in a SUBPROCESS of this script (--e2e-sub): the denoise benches above
-    # leave a 16 GB chip fragmented enough to flake the full pipeline
-    # in-process (observed round 3: e2e_stage1 JaxRuntimeError), and a
-    # tunnel RPC that hangs mid-pipeline must not hang the whole bench past
-    # the driver timeout — the parent timeout-kills the child and still
-    # prints its one JSON line. One retry per stage if the budget allows.
-    def _try_e2e(stage, step_sec, min_budget, budget_cap=None):
+    def _try_e2e(stage, step_sec, min_budget, budget_cap=None, retry=True):
         if os.environ.get("HI3D_BENCH_E2E", "1") == "0" or _remaining() < min_budget:
             skipped.append(f"e2e_stage{stage}: budget "
                            f"(remaining {_remaining():.0f}s)")
             return
-        for attempt in (1, 2):
+        attempts = (1, 2) if retry else (1,)
+        for attempt in attempts:
             t0 = time.monotonic()
             try:
                 out = _e2e_subprocess(stage, step_sec, budget_cap=budget_cap)
@@ -556,23 +560,52 @@ def main() -> None:
                 return
             skipped.append(
                 f"e2e_stage{stage} attempt {attempt}: "
-                + " ".join(str(err).split())[:160]
+                + " ".join(str(err).split())[:300]
             )
             if _remaining() < min_budget:
                 return
 
-    # e2e1 first but capped so e2e2 keeps its reservation; if the cap can't
-    # fund a useful run, give the whole remaining budget to e2e2 instead
-    e2e1_cap = _remaining() - RESERVE_E2E2
-    if e2e1_cap >= 90:
-        _try_e2e(1, primary["sec_per_step"], 90, budget_cap=e2e1_cap)
+    # e2e per-asset marginals run in SUBPROCESSES of this script
+    # (--e2e-sub): the denoise benches leave a 16 GB chip fragmented enough
+    # to flake the full pipeline in-process (round-3 JaxRuntimeError), and a
+    # tunnel RPC hang must degrade to a diagnosed skipped entry, not a
+    # driver timeout. The child streams phase timers on stderr; on kill the
+    # parent attaches them to the skipped entry (hang vs overrun).
+    e2e1_cap = _remaining() - EST_TRAIN - EST_S2
+    _try_e2e(1, primary["sec_per_step"], 90, budget_cap=e2e1_cap)
+
+    if _remaining() > EST_TRAIN + EST_S2:
+        try:
+            extra.append(_timed(_bench_train, peak))
+        except Exception as e:
+            msg = " ".join(str(e).split())[:160]
+            skipped.append(f"train: {type(e).__name__}: {msg}")
     else:
-        skipped.append(f"e2e_stage1: budget (remaining {_remaining():.0f}s "
-                       f"< e2e2 reserve {RESERVE_E2E2:.0f}s + 90s)")
+        skipped.append(f"train: budget (remaining {_remaining():.0f}s, "
+                       f"need {EST_TRAIN + EST_S2:.0f}s with stage2)")
+
+    if _remaining() > EST_S2:
+        try:
+            m = _timed(
+                _bench_denoise,
+                "unet_denoise_steps_per_sec_chip_stage2_1024",
+                17, 512, STAGE2_HW, peak,
+            )
+            s2_step = m["sec_per_step"]
+            extra.append(m)
+        except Exception as e:  # OOM/compile failure must not kill the line
+            msg = " ".join(str(e).split())[:160]
+            skipped.append(f"stage2: {type(e).__name__}: {msg}")
+    else:
+        skipped.append(f"stage2: budget (remaining {_remaining():.0f}s)")
+
     # e2e2 gets everything left; step_sec falls back to a stage-1-derived
     # estimate (5.5× ratio, BASELINE.md) so the child's internal step
-    # reduction still engages when the stage-2 step metric was skipped
-    _try_e2e(2, s2_step or primary["sec_per_step"] * 5.5, 110)
+    # reduction still engages when the stage-2 step metric was skipped.
+    # No retry: a second 25-step stage-2 child rarely fits what remains —
+    # better a diagnosed single failure than two half-burned attempts.
+    _try_e2e(2, s2_step or primary["sec_per_step"] * 5.5, MIN_E2E2,
+             retry=False)
 
     # projected v5e-8 serving latency (VERDICT r3 #5): pure arithmetic from
     # THIS RUN's measured step rates + the dryrun-certified frame-parallel

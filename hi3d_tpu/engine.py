@@ -270,14 +270,21 @@ class DiffusionEngine:
         outs = [fn(x[i : i + n]) for i in range(0, x.shape[0], n)]
         return jnp.concatenate(outs, axis=0)
 
-    def encode_first_stage(self, x: jax.Array) -> jax.Array:
-        """(N, H, W, 3) in [-1,1] → scaled latents (N, H/8, W/8, 4); fp32."""
+    def encode_first_stage(self, x: jax.Array, fs_params=None) -> jax.Array:
+        """(N, H, W, 3) in [-1,1] → scaled latents (N, H/8, W/8, 4); fp32.
+
+        `fs_params` overrides the VAE weight tree for this call only (serve.py
+        threads a mesh-replicated copy through here instead of mutating the
+        shared model — concurrent single-device users keep their placement)."""
         z = self._chunked(
-            lambda v: self.first_stage_model.encode(v.astype(jnp.float32)), x
+            lambda v: self.first_stage_model.encode(
+                v.astype(jnp.float32), params=fs_params
+            ),
+            x,
         )
         return (self.scale_factor * z).astype(self.compute_dtype)
 
-    def decode_first_stage(self, z: jax.Array) -> jax.Array:
+    def decode_first_stage(self, z: jax.Array, fs_params=None) -> jax.Array:
         tiled = (
             self.decode_tile_size is not None
             and max(z.shape[1], z.shape[2]) > self.decode_tile_size
@@ -287,9 +294,9 @@ class DiffusionEngine:
             v = (1.0 / self.scale_factor) * v.astype(jnp.float32)
             if tiled:
                 return self.first_stage_model.decode_tiled(
-                    v, tile=self.decode_tile_size
+                    v, tile=self.decode_tile_size, params=fs_params
                 )
-            return self.first_stage_model.decode(v)
+            return self.first_stage_model.decode(v, params=fs_params)
 
         return self._chunked(dec, z)
 

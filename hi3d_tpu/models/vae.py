@@ -361,9 +361,10 @@ class AutoencoderKL:
         x: jax.Array,
         rng: Optional[jax.Array] = None,
         return_posterior: bool = False,
+        params=None,  # weight-tree override (serve.py: mesh-replicated copy)
     ):
         moments = self._applier("encode_moments", self.module.encode_moments)(
-            self.params, x
+            self.params if params is None else params, x
         )
         posterior = DiagonalGaussianDistribution(moments)
         if self.sample_posterior and rng is not None:
@@ -374,14 +375,17 @@ class AutoencoderKL:
             return z, posterior
         return z
 
-    def decode(self, z: jax.Array) -> jax.Array:
-        return self._applier("decode", self.module.decode)(self.params, z)
+    def decode(self, z: jax.Array, params=None) -> jax.Array:
+        return self._applier("decode", self.module.decode)(
+            self.params if params is None else params, z
+        )
 
     def decode_tiled(
         self,
         z: jax.Array,
         tile: int = 64,
         overlap: int = 16,
+        params=None,
     ) -> jax.Array:
         """Spatially tiled decode with feathered overlap blending.
 
@@ -395,7 +399,7 @@ class AutoencoderKL:
         """
         n, h, w, c = z.shape
         if h <= tile and w <= tile:
-            return self.decode(z)
+            return self.decode(z, params=params)
         stride = tile - overlap
         # decoder upsampling factor follows the ch_mult pyramid depth
         f = 2 ** (len(self.module.ddconfig.get("ch_mult", (1, 2, 4, 4))) - 1)
@@ -423,7 +427,9 @@ class AutoencoderKL:
         acc = jnp.zeros((n, h * f, w * f, 1), jnp.float32)
         for yi, y0 in enumerate(ys):
             for xi, x0 in enumerate(xs):
-                patch = self.decode(z[:, y0 : y0 + tile, x0 : x0 + tile])
+                patch = self.decode(
+                    z[:, y0 : y0 + tile, x0 : x0 + tile], params=params
+                )
                 wy = ramp(h, yi > 0, yi < len(ys) - 1)
                 wx = ramp(w, xi > 0, xi < len(xs) - 1)
                 wgt = (wy[:, None] * wx[None, :])[None, :, :, None]

@@ -260,19 +260,22 @@ def temporal_block_attention(
 # tests/test_temporal_kernel.py.
 
 
-def _nat_default_blk_s(s: int, t: int, c: int) -> int:
+def _nat_default_blk_s(s: int, t: int, c: int, itemsize: int = 2) -> int:
     """Largest spatial block ≤ HI3D_TEMPORAL_BLKS (default 32 → 512 tokens
     at T=16, matching the location-major kernel's measured blk=512 optimum)
-    that divides S, is sublane-aligned, and keeps a (T, blk_s, C) bf16 tile
-    under ~640 KB so the backward's 8 double-buffered blocks fit VMEM at the
-    C=1280 low-resolution levels. 0 when none exists."""
+    that divides S, is sublane-aligned, and keeps a (T, blk_s, C) tile of
+    `itemsize`-byte elements under ~640 KB so the backward's 8
+    double-buffered blocks fit VMEM at the C=1280 low-resolution levels.
+    0 when none exists."""
     cap = int(os.environ.get("HI3D_TEMPORAL_BLKS", 32))
     budget = 640 * 1024
-    while cap >= 8 and t * cap * c * 2 > budget:
+    while cap >= 8 and t * cap * c * itemsize > budget:
         cap //= 2
     blk = min(cap, s)
+    blk -= blk % 8  # the search steps by 8; a stray remainder (e.g. an env
+    # cap of 20) would otherwise skip every aligned candidate
     while blk >= 8:
-        if s % blk == 0 and blk % 8 == 0:
+        if s % blk == 0:
             return blk
         blk -= 8
     return 0
@@ -430,8 +433,15 @@ def temporal_attention_natural(
     b, t, s, h, d = q5.shape
     if scale is None:
         scale = d**-0.5
-    blk_s = _nat_default_blk_s(s, t, h * d)
     dt = jnp.result_type(q5.dtype, k5.dtype, v5.dtype)
+    blk_s = _nat_default_blk_s(s, t, h * d, jnp.dtype(dt).itemsize)
+    if blk_s == 0:
+        raise ValueError(
+            f"temporal_attention_natural: no spatial block for S={s}, T={t}, "
+            f"C={h * d} ({jnp.dtype(dt).name}) — need a multiple of 8 "
+            "dividing S whose (T, blk_s, C) tile fits the VMEM budget; use "
+            "temporal_attention_fused for automatic fallback"
+        )
 
     def to4(x):
         return x.astype(dt).reshape(b, t, s, h * d)
@@ -475,7 +485,13 @@ def temporal_attention_fused(
     cost to one explicit transpose per block instead — measured SLOWER
     (0.4316 vs 0.4434 steps/s), so this entry is the default path."""
     b, t, s, h, d = q5.shape
-    if natural_layout_enabled() and _nat_default_blk_s(s, t, h * d) >= 8:
+    itemsize = jnp.dtype(
+        jnp.result_type(q5.dtype, k5.dtype, v5.dtype)
+    ).itemsize
+    if (
+        natural_layout_enabled()
+        and _nat_default_blk_s(s, t, h * d, itemsize) >= 8
+    ):
         return temporal_attention_natural(q5, k5, v5, scale=scale)
 
     def to_lm(x):  # (B,T,S,H,D) → (B, S·T, H, D), location-major

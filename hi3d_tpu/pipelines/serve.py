@@ -48,31 +48,6 @@ def _replicated_params(model, mesh):
     return _replicate(model.params, mesh)
 
 
-class _fs_params_on_mesh:
-    """Scoped swap of first_stage_model.params for a mesh-replicated copy.
-
-    The VAE encode/decode entries read `self.params` (no override arg), so
-    sharded-batch encode/decode needs the weights mesh-placed for the call;
-    the swap is restored on exit so the model keeps its single-device
-    placement for other users (the engine object is shared with CLI paths
-    and tests)."""
-
-    def __init__(self, model, rep):
-        self._fs = getattr(model, "first_stage_model", None)
-        self._rep = rep
-
-    def __enter__(self):
-        if self._fs is not None and self._rep is not None:
-            self._old = self._fs.params
-            self._fs.params = self._rep
-        return self
-
-    def __exit__(self, *exc):
-        if self._fs is not None and self._rep is not None:
-            self._fs.params = self._old
-        return False
-
-
 def _replicated_fs_params(model, mesh):
     fs = getattr(model, "first_stage_model", None)
     if fs is None or getattr(fs, "params", None) is None:
@@ -151,8 +126,10 @@ class OrbitServer:
             encoder_reuse=encoder_reuse,
             cfg_interval=cfg_interval,
         )
-        with _fs_params_on_mesh(model, self._fs_params):
-            decoded = model.decode_first_stage(samples)
+        # fs_params threads the mesh-replicated VAE weights through the call
+        # (no shared-state mutation — reentrant; concurrent single-device
+        # users of the same model object keep their placement)
+        decoded = model.decode_first_stage(samples, fs_params=self._fs_params)
         if output_dtype == "uint8":
             from ..utils.video import denorm_to_uint8
 
@@ -198,20 +175,20 @@ class RefineServer:
                 f"batch×frames {b}·{t} not divisible by data axis {n}"
             )
 
-        with _fs_params_on_mesh(self.model, self._fs_params):
-            return blend_refine_batch(
-                self.model,
-                videos,
-                masks=masks,
-                elevations=elevations,
-                rng=rng,
-                steps_per_launch=steps_per_launch,
-                params=self._params,
-                shard=_mesh_put(self.mesh),
-                encoder_reuse=encoder_reuse,
-                cfg_interval=cfg_interval,
-                output_dtype=output_dtype,
-            )
+        return blend_refine_batch(
+            self.model,
+            videos,
+            masks=masks,
+            elevations=elevations,
+            rng=rng,
+            steps_per_launch=steps_per_launch,
+            params=self._params,
+            fs_params=self._fs_params,
+            shard=_mesh_put(self.mesh),
+            encoder_reuse=encoder_reuse,
+            cfg_interval=cfg_interval,
+            output_dtype=output_dtype,
+        )
 
 
 class TwoStageServer:

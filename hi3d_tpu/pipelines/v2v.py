@@ -85,6 +85,7 @@ def blend_refine_batch(
     rng: Optional[jax.Array] = None,
     steps_per_launch: Optional[int] = 8,
     params=None,  # override weight tree (serve.py passes mesh-replicated)
+    fs_params=None,  # VAE weight-tree override (serve.py, same rationale)
     shard=None,  # callable applied to per-frame arrays (mesh placement)
     init_noise: Optional[jax.Array] = None,  # (B·T, h/8, w/8, 4) unit noise
     batch_overrides: Optional[Dict] = None,  # applied after add_custom_cond
@@ -156,7 +157,7 @@ def blend_refine_batch(
 
     # per-frame latents of the conditioning video (fp32 VAE)
     flat = shard(video_dev.reshape(b * t, *video_dev.shape[2:]))
-    z = model.encode_first_stage(flat)  # (B·T, h/8, w/8, 4)
+    z = model.encode_first_stage(flat, fs_params=fs_params)  # (B·T, h/8, w/8, 4)
     z = z.astype(jnp.float32)
     timer.mark("vae_encode", z)
 
@@ -331,7 +332,7 @@ def blend_refine_batch(
                 use_params, latents, idx[s0:s1], z, init_noise, c, uc,
             )
     timer.mark("sampler_steps", latents)
-    decoded = model.decode_first_stage(latents.astype(dtype))
+    decoded = model.decode_first_stage(latents.astype(dtype), fs_params=fs_params)
     timer.mark("vae_decode", decoded)
     from ..utils.video import denorm_to_uint8
 

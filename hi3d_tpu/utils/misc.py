@@ -111,12 +111,20 @@ class PhaseTimer:
     def mark(self, name: str, block=None) -> None:
         if not self.enabled:
             return
+        import sys
+
         import jax
 
         if block is not None:
             jax.block_until_ready(block)
         now = self._time.perf_counter()
         self.rows.append((name, now - self._t))
+        # stream each phase to stderr as it completes: when a parent
+        # timeout-kills this process mid-pipeline, the lines emitted so far
+        # are the diagnosis (bench.py attaches them to the skipped entry —
+        # a hang shows WHERE, an overrun shows the phase that blew the budget)
+        print(f"[phase:{self.label}] {name} {now - self._t:.2f}s",
+              file=sys.stderr, flush=True)
         self._t = now
 
     def report(self) -> None:

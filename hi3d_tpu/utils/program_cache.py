@@ -36,6 +36,7 @@ import jax
 _ENV_IGNORE = {
     "HI3D_PROGRAM_CACHE",
     "HI3D_PROGRAM_CACHE_DIR",
+    "HI3D_PROGRAM_CACHE_FORCE",  # selects the blob POLICY, not the graph
     "HI3D_COMP_CACHE",
     "HI3D_COMP_CACHE_DIR",
     "HI3D_TIME_PHASES",

@@ -124,7 +124,7 @@ def test_dispatch_through_xla_attention_time(monkeypatch):
     )
 
 
-def test_natural_matches_location_major():
+def test_natural_matches_location_major(monkeypatch):
     """The natural-layout kernel is the location-major kernel under a token
     permutation — same (q, k) pair set, same fp32 softmax. Equality fwd+bwd
     at a shape where the two tile differently (s=256, blk_s=32 vs blk=512)."""
@@ -138,22 +138,21 @@ def test_natural_matches_location_major():
         return jnp.sum(temporal_attention_natural(q, k, v) ** 2)
 
     def loss_lm(q, k, v):
-        import os
-
-        os.environ["HI3D_TEMPORAL_LAYOUT"] = "lm"
+        # env read happens at trace time, inside this test's monkeypatch
+        # scope — restored by the fixture even if the trace raises
+        monkeypatch.setenv("HI3D_TEMPORAL_LAYOUT", "lm")
         try:
             return jnp.sum(temporal_attention_fused(q, k, v) ** 2)
         finally:
-            del os.environ["HI3D_TEMPORAL_LAYOUT"]
+            monkeypatch.setenv("HI3D_TEMPORAL_LAYOUT", "natural")
 
     got = jax.jit(temporal_attention_natural)(q, k, v)
-    import os
 
-    os.environ["HI3D_TEMPORAL_LAYOUT"] = "lm"
+    monkeypatch.setenv("HI3D_TEMPORAL_LAYOUT", "lm")
     try:
         want = jax.jit(temporal_attention_fused)(q, k, v)
     finally:
-        del os.environ["HI3D_TEMPORAL_LAYOUT"]
+        monkeypatch.setenv("HI3D_TEMPORAL_LAYOUT", "natural")
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=2e-2, rtol=2e-2,
