@@ -187,10 +187,14 @@ def enable_persistent_compilation_cache() -> None:
 
     Single owner for the whole repo (package import, CLIs, bench tools all
     route here): dir = HI3D_COMP_CACHE_DIR (default ~/.cache/hi3d_tpu_xla),
-    min-compile-time 5 s (tuned for the minutes-long TPU UNet compiles —
-    sub-second CPU compiles aren't worth disk entries). HI3D_COMP_CACHE=0
-    disables entirely, including when called after import (so the test
-    conftest stays the owner of its own aggressive CPU cache). Idempotent.
+    min-compile-time 0.5 s. Through the tunneled TPU every compile — even a
+    trivial broadcast — costs ~0.5 s of server RPC, and a fresh process
+    dispatches dozens of 0.5-5 s mid-size graphs (tower subgraphs, eager
+    pipeline ops) that the old 5 s threshold silently re-paid every run
+    (round-5 cache-probe measurement, BASELINE.md). Disk cost is a few KB
+    per entry. HI3D_COMP_CACHE=0 disables entirely, including when called
+    after import (so the test conftest stays the owner of its own
+    aggressive CPU cache). Idempotent.
     """
     import os
 
@@ -203,4 +207,4 @@ def enable_persistent_compilation_cache() -> None:
         os.path.join(os.path.expanduser("~"), ".cache", "hi3d_tpu_xla"),
     )
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
