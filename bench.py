@@ -340,7 +340,10 @@ def _bench_e2e_stage(stage: int, step_sec: float | None):
     # cache; tracing is ~3 s and is NOT the cost), plus two runs of
     # steps × step_sec execution and ~12 s of tail each. Reducing steps only
     # trims the execution share.
-    fixed_cold = 255.0 if stage == 1 else 320.0
+    # stage 1: 5-step scan segments (inference-v01.yaml steps_per_launch)
+    # cache cleanly — measured steady cold ≈ 78 s; stage 2: ~130-230 s
+    # (tunnel-variable). Both step-count-independent.
+    fixed_cold = 90.0 if stage == 1 else 230.0
     steps = full_steps
     if step_sec:
         while steps > 5 and _remaining() < (
@@ -546,8 +549,8 @@ def main() -> None:
     # calibrated under a different blob policy.
     EST_TRAIN = 55.0   # measured r04: ~50 s warm
     EST_S2 = 100.0     # measured r04: 93 s warm
-    MIN_E2E2 = 300.0   # measured floor: stage-2 child fixed cost ≈ 320 s +
-    # runs; below this it cannot produce a number even at 5 steps
+    MIN_E2E2 = 240.0   # measured floor: stage-2 child fixed cost ≈ 175 s
+    # non-exec + two reduced-step runs ≈ 240 s minimum useful budget
 
     def _try_e2e(stage, step_sec, min_budget, budget_cap=None, retry=True):
         if os.environ.get("HI3D_BENCH_E2E", "1") == "0" or _remaining() < min_budget:
@@ -583,7 +586,7 @@ def main() -> None:
     # train > stage2 > e2e2 — round-5 measured costs mean all five metrics
     # cannot fit one 540 s run; BASELINE.md round-5 section has the math)
     e2e1_cap = _remaining() - EST_TRAIN
-    _try_e2e(1, primary["sec_per_step"], 305, budget_cap=e2e1_cap)
+    _try_e2e(1, primary["sec_per_step"], 140, budget_cap=e2e1_cap)
 
     if _remaining() > EST_TRAIN + EST_S2:
         try:
@@ -637,8 +640,8 @@ def main() -> None:
     _FALLBACK_PHASES = {
         1: {"add_custom_cond": 0.75, "conditioner": 0.13,
             "sampler_steps": 9.57, "vae_decode": 0.82, "to_host": 0.64},
-        2: {"add_custom_cond": 2.8, "conditioner": 0.9, "vae_encode": 0.73,
-            "sampler_steps": 54.5, "vae_decode": 1.6, "to_host": 4.1},
+        2: {"add_custom_cond": 7.97, "conditioner": 0.93, "vae_encode": 0.74,
+            "sampler_steps": 54.07, "vae_decode": 1.52, "to_host": 4.08},
     }
 
     try:
