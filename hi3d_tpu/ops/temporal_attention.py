@@ -260,15 +260,25 @@ def temporal_block_attention(
 # tests/test_temporal_kernel.py.
 
 
-def _nat_default_blk_s(s: int, t: int, c: int, itemsize: int = 2) -> int:
+_NAT_BWD_BUDGET = 384 * 1024  # bytes per (T, blk_s, C) tile in the BACKWARD:
+# it streams 8 blocks (5 in + 3 out, double-buffered) plus fp32 n×n score /
+# dp intermediates per head — a 640 KB tile at (S=1024, C=640) put the
+# train step 944 KB over the 16 MB scoped-VMEM limit on a real v5e
+# (round-5 driver-bench failure; inference, which only runs the 4-block
+# forward, fit fine). Any blk_s is numerically valid — a tile spans all T
+# frames, every token's whole attention range — so the backward simply
+# re-tiles smaller.
+
+
+def _nat_default_blk_s(
+    s: int, t: int, c: int, itemsize: int = 2, budget: int = 640 * 1024
+) -> int:
     """Largest spatial block ≤ HI3D_TEMPORAL_BLKS (default 32 → 512 tokens
     at T=16, matching the location-major kernel's measured blk=512 optimum)
     that divides S, is sublane-aligned, and keeps a (T, blk_s, C) tile of
-    `itemsize`-byte elements under ~640 KB so the backward's 8
-    double-buffered blocks fit VMEM at the C=1280 low-resolution levels.
-    0 when none exists."""
+    `itemsize`-byte elements under `budget` bytes (640 KB forward;
+    _NAT_BWD_BUDGET for the heavier backward). 0 when none exists."""
     cap = int(os.environ.get("HI3D_TEMPORAL_BLKS", 32))
-    budget = 640 * 1024
     while cap >= 8 and t * cap * c * itemsize > budget:
         cap //= 2
     blk = min(cap, s)
@@ -409,7 +419,12 @@ def _nat_local_fwd(q4, k4, v4, scale, blk_s, heads, dh):
 
 def _nat_local_bwd(scale, blk_s, heads, dh, res, g):
     q4, k4, v4, out = res
-    return _nat_bwd(q4, k4, v4, out, g, scale, blk_s, heads, dh)
+    b, t, s, c = q4.shape
+    blk_b = _nat_default_blk_s(
+        s, t, c, jnp.dtype(q4.dtype).itemsize, budget=_NAT_BWD_BUDGET
+    )
+    blk_b = min(blk_s, blk_b) if blk_b >= 8 else blk_s
+    return _nat_bwd(q4, k4, v4, out, g, scale, blk_b, heads, dh)
 
 
 _nat_local.defvjp(_nat_local_fwd, _nat_local_bwd)

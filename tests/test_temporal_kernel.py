@@ -166,8 +166,11 @@ def test_natural_matches_location_major(monkeypatch):
         )
 
 
-def test_natural_blk_s_vmem_budget():
-    from hi3d_tpu.ops.temporal_attention import _nat_default_blk_s
+def test_natural_blk_s_vmem_budget(monkeypatch):
+    from hi3d_tpu.ops.temporal_attention import (
+        _NAT_BWD_BUDGET,
+        _nat_default_blk_s,
+    )
 
     # stage-2 top level: C=320 → full 32-wide slab (512 tokens at T=16)
     assert _nat_default_blk_s(16384, 16, 320) == 32
@@ -176,3 +179,51 @@ def test_natural_blk_s_vmem_budget():
     assert _nat_default_blk_s(256, 16, 1280) == 16
     # S not divisible by any sublane-aligned block → unsupported (0)
     assert _nat_default_blk_s(100, 16, 320) == 0
+    # an env cap that is not a multiple of 8 rounds down instead of
+    # skipping every aligned candidate (ADVICE r4)
+    monkeypatch.setenv("HI3D_TEMPORAL_BLKS", "20")
+    assert _nat_default_blk_s(64, 16, 320) == 16
+    monkeypatch.delenv("HI3D_TEMPORAL_BLKS")
+    # the backward's tighter budget halves the tile at the (S,C)=(1024,640)
+    # site that put the train step over the scoped-VMEM limit on a real v5e
+    assert _nat_default_blk_s(1024, 16, 640) == 32
+    assert _nat_default_blk_s(1024, 16, 640, budget=_NAT_BWD_BUDGET) == 16
+
+
+def test_natural_grad_with_smaller_backward_tile():
+    """Backward re-tiles below the forward blk_s at C=640 (the scoped-VMEM
+    fix): gradients must match the location-major kernel exactly anyway —
+    any blk_s is a valid tiling since a tile spans all T frames."""
+    from hi3d_tpu.ops.temporal_attention import (
+        _NAT_BWD_BUDGET,
+        _nat_default_blk_s,
+        temporal_attention_natural,
+        temporal_block_attention,
+    )
+
+    shape = (1, 16, 64, 10, 64)  # C = 640: fwd blk 32, bwd blk 16
+    assert _nat_default_blk_s(64, 16, 640) == 32
+    assert _nat_default_blk_s(64, 16, 640, budget=_NAT_BWD_BUDGET) == 16
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    q, k, v = (_rand(keys[i], shape, jnp.bfloat16) for i in range(3))
+    b, t, s, h, d = shape
+
+    def loss_nat(q, k, v):
+        return jnp.sum(temporal_attention_natural(q, k, v) ** 2)
+
+    def loss_lm(q, k, v):
+        def to_lm(x):
+            return x.transpose(0, 2, 1, 3, 4).reshape(b, s * t, h, d)
+
+        out = temporal_block_attention(to_lm(q), to_lm(k), to_lm(v), t)
+        return jnp.sum(
+            (out.reshape(b, s, t, h, d).transpose(0, 2, 1, 3, 4)) ** 2
+        )
+
+    g_nat = jax.jit(jax.grad(loss_nat, argnums=(0, 1, 2)))(q, k, v)
+    g_lm = jax.jit(jax.grad(loss_lm, argnums=(0, 1, 2)))(q, k, v)
+    for gn, gl in zip(g_nat, g_lm):
+        np.testing.assert_allclose(
+            np.asarray(gn, np.float32), np.asarray(gl, np.float32),
+            atol=5e-2, rtol=5e-2,
+        )
