@@ -576,19 +576,12 @@ def main() -> None:
             if _remaining() < min_budget:
                 return
 
-    # e2e per-asset marginals run in SUBPROCESSES of this script
-    # (--e2e-sub): the denoise benches leave a 16 GB chip fragmented enough
-    # to flake the full pipeline in-process (round-3 JaxRuntimeError), and a
-    # tunnel RPC hang must degrade to a diagnosed skipped entry, not a
-    # driver timeout. The child streams phase timers on stderr; on kill the
-    # parent attaches them to the skipped entry (hang vs overrun).
-    # cap e2e1 to preserve the train reservation ONLY (priority: e2e1 >
-    # train > stage2 > e2e2 — round-5 measured costs mean all five metrics
-    # cannot fit one 540 s run; BASELINE.md round-5 section has the math)
-    e2e1_cap = _remaining() - EST_TRAIN
-    _try_e2e(1, primary["sec_per_step"], 140, budget_cap=e2e1_cap)
-
-    if _remaining() > EST_TRAIN + EST_S2:
+    # train runs BEFORE the e2e1 child: it is cheap (~50 s) and
+    # low-variance, while the e2e1 subprocess's cold cost swings 80-300 s
+    # with the tunnel compile-service's state — an overrunning e2e1 starved
+    # train out of the round-5 validation run even though both fit on
+    # average. e2e1's own 140 s minimum stays protected by the gate here.
+    if _remaining() > EST_TRAIN + 140:
         try:
             extra.append(_timed(_bench_train, peak))
         except Exception as e:
@@ -596,7 +589,17 @@ def main() -> None:
             skipped.append(f"train: {type(e).__name__}: {msg}")
     else:
         skipped.append(f"train: budget (remaining {_remaining():.0f}s, "
-                       f"need {EST_TRAIN + EST_S2:.0f}s with stage2)")
+                       f"e2e1 reservation 140s)")
+
+    # e2e per-asset marginals run in SUBPROCESSES of this script
+    # (--e2e-sub): the denoise benches leave a 16 GB chip fragmented enough
+    # to flake the full pipeline in-process (round-3 JaxRuntimeError), and a
+    # tunnel RPC hang must degrade to a diagnosed skipped entry, not a
+    # driver timeout. The child streams phase timers on stderr; on kill the
+    # parent attaches them to the skipped entry (hang vs overrun).
+    # Priority: e2e1 > train > stage2 > e2e2 — round-5 measured costs mean
+    # all five metrics cannot fit one 540 s run (BASELINE.md has the math).
+    _try_e2e(1, primary["sec_per_step"], 140)
 
     if _remaining() > EST_S2:
         try:
