@@ -69,6 +69,24 @@ def _flag_segments(flags, chunk=None):
     return out
 
 
+def _equal_chunk(n: int, chunk) -> "int | None":
+    """Largest divisor of n that is ≤ chunk (None = no chunking).
+
+    Equal-size scan segments reuse ONE compiled executable; a remainder
+    segment (e.g. 25 steps at chunk 8 → 8+8+8+1) traces and compiles a
+    SECOND program — and executable count/size is exactly what defeats the
+    persistent compile cache on the tunneled TPU backend (BASELINE.md
+    round-5: segmenting the stage-1 sampler cut the fresh-process cold cost
+    263 → 78 s). Any configured steps_per_launch therefore normalizes to a
+    divisor here."""
+    if not chunk or chunk >= n:
+        return None
+    c = max(1, min(int(chunk), n))
+    while n % c:
+        c -= 1
+    return c
+
+
 def to_d(x: jax.Array, sigma: jax.Array, denoised: jax.Array) -> jax.Array:
     """ODE derivative dx/dσ = (x − D(x,σ)) / σ."""
     return (x - denoised) / append_dims(sigma, x.ndim)
@@ -284,7 +302,7 @@ class EDMSampler(SingleStepDiffusionSampler):
             rng = jax.random.PRNGKey(0)
         step_rngs = jax.random.split(rng, n)
         xs = (sigmas[:-1], sigmas[1:], jnp.asarray(gammas), step_rngs)
-        chunk = self.steps_per_launch
+        chunk = _equal_chunk(n, self.steps_per_launch)
 
         if cfg_interval is not None:
             if encoder_reuse:

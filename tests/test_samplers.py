@@ -280,6 +280,22 @@ VCFG = {
 }
 
 
+def test_equal_chunk_normalizes_to_divisor():
+    """steps_per_launch normalizes to a divisor of n so every segment
+    reuses ONE compiled executable (a remainder segment would compile a
+    second program — the persistent-cache defeat of BASELINE.md round-5)."""
+    from hi3d_tpu.diffusion.samplers import _equal_chunk
+
+    assert _equal_chunk(25, 8) == 5      # 8+8+8+1 would need two programs
+    assert _equal_chunk(25, 5) == 5
+    assert _equal_chunk(24, 8) == 8
+    assert _equal_chunk(13, 8) == 1      # prime: per-step launches
+    assert _equal_chunk(25, None) is None
+    assert _equal_chunk(25, 0) is None
+    assert _equal_chunk(25, 25) is None  # whole-scan single program
+    assert _equal_chunk(25, 40) is None
+
+
 def test_flag_segments():
     from hi3d_tpu.diffusion.samplers import _flag_segments
 
