@@ -263,25 +263,39 @@ def _bench_train(peak, scale=1.0, t=T, hw=STAGE1_HW):
     }
     rng = jax.random.PRNGKey(0)
 
+    def _mark(name, t0):
+        # phase marks on stderr (HI3D_TIME_PHASES): lets the parent's
+        # timeout-kill diagnosis distinguish a hung server-side compile from
+        # a slow step loop, same contract as the e2e children
+        if os.environ.get("HI3D_TIME_PHASES"):
+            import sys
+            print(f"[phase:train] {name} {time.perf_counter() - t0:.2f}s",
+                  file=sys.stderr, flush=True)
+
     # step_fn is already jitted (mesh=None path) with state donation; AOT
     # through the program cache so a fresh driver process skips the re-trace
     from hi3d_tpu.utils.program_cache import aot_compile
 
+    t0 = time.perf_counter()
     compiled = aot_compile(
         step_fn, "bench_train_stage1", (TRAINED_KEYS, t, hw),
         (state, batch, rng), donate_argnums=(0,),
     )
+    _mark("compile", t0)
     flops = _compiled_flops(compiled)
     # the state chain makes each step data-dependent on the last; the
     # _materialize readbacks force real execution (see _bench_denoise)
+    t0 = time.perf_counter()
     state, metrics = compiled(state, batch, jax.random.fold_in(rng, 0))
     _materialize(metrics["loss"])
+    _mark("first_step", t0)
     t0 = time.perf_counter()
     for i in range(TRAIN_STEPS):
         state, metrics = compiled(state, batch, jax.random.fold_in(rng, 1 + i))
     _materialize(metrics["loss"])
     _materialize(jax.tree.leaves(state.params)[0])
     dt = (time.perf_counter() - t0) / TRAIN_STEPS
+    _mark("steps", t0)
     return _result(
         "train_steps_per_sec_chip_stage1_512_svd_adapt", dt, flops, peak
     )
@@ -402,14 +416,39 @@ def _bench_e2e_stage(stage: int, step_sec: float | None):
     return out
 
 
-def _e2e_subprocess(stage: int, step_sec: float | None,
-                    budget_cap: float | None = None) -> dict:
-    """Run _bench_e2e_stage in a child process of this script and return its
-    JSON result. The child gets the parent's REMAINING budget (fresh
-    HI3D_BENCH_BUDGET_S — the child recomputes its deadline at import),
-    optionally capped below it (`budget_cap` reserves parent budget for
-    later metrics), and is killed 30 s past it, so a hung backend RPC
-    degrades to a skipped-metric entry instead of a silent driver timeout."""
+def _phase_tail(stderr) -> str:
+    if isinstance(stderr, bytes):
+        stderr = stderr.decode("utf-8", "replace")
+    lines = [
+        ln.strip() for ln in (stderr or "").splitlines()
+        if ln.strip().startswith("[phase")
+    ]
+    return "; ".join(lines[-4:]) if lines else "no phase marks reached"
+
+
+def _last_json_line(stdout: str):
+    """The child's result is the LAST parseable JSON line on stdout — model
+    builders may print notices above it (None if no line parses)."""
+    for line in reversed((stdout or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def _run_bench_child(sub_args, label: str,
+                     budget_cap: float | None = None):
+    """Spawn this script as a child metric process and return
+    (result_dict, child_stderr). The child gets the parent's REMAINING
+    budget (fresh HI3D_BENCH_BUDGET_S — the child recomputes its deadline at
+    import), optionally capped below it (`budget_cap` reserves parent budget
+    for later metrics), and is killed 30 s past it, so a hung backend RPC or
+    a tunnel compile-service slow patch degrades to a skipped-metric entry
+    instead of a silent driver timeout. Phase timers streamed on the child's
+    stderr are attached to timeout diagnoses (hang vs overrun)."""
     import subprocess
     import sys
 
@@ -418,51 +457,39 @@ def _e2e_subprocess(stage: int, step_sec: float | None,
         budget = max(min(budget, budget_cap), 1.0)
     env = dict(os.environ)
     env["HI3D_BENCH_BUDGET_S"] = str(budget)
-    # phase timers stream each pipeline phase to stderr as it completes, so
-    # a timeout-kill still yields a diagnosis (which phase hung/overran) —
-    # round 4's bare "hung past 139 s — killed" was undiagnosable
     env["HI3D_TIME_PHASES"] = "1"
-    cmd = [sys.executable, os.path.abspath(__file__), "--e2e-sub", str(stage)]
-    if step_sec:
-        cmd += ["--step-sec", str(step_sec)]
-
-    def _phase_tail(stderr) -> str:
-        if isinstance(stderr, bytes):
-            stderr = stderr.decode("utf-8", "replace")
-        lines = [
-            ln.strip() for ln in (stderr or "").splitlines()
-            if ln.strip().startswith("[phase")
-        ]
-        return "; ".join(lines[-4:]) if lines else "no phase marks reached"
-
+    cmd = [sys.executable, os.path.abspath(__file__)] + list(sub_args)
     try:
         proc = subprocess.run(
             cmd, capture_output=True, text=True, timeout=budget + 30,
             cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
         )
     except subprocess.TimeoutExpired as e:
-        return {"error": f"e2e stage {stage} subprocess past "
-                         f"{budget + 30:.0f} s budget — killed; child phases: "
-                         + _phase_tail(e.stderr)}
-    out = None
-    for line in reversed(proc.stdout.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                out = json.loads(line)
-                break
-            except json.JSONDecodeError:
-                continue
+        return ({"error": f"{label} subprocess past {budget + 30:.0f} s "
+                          "budget — killed; child phases: "
+                          + _phase_tail(e.stderr)}, "")
+    out = _last_json_line(proc.stdout)
     if out is None:
         tail = (proc.stderr or proc.stdout or "").strip().splitlines()
-        return {"error": f"rc={proc.returncode}: "
-                         + " ".join(" ".join(tail[-3:]).split())[:200]}
+        return ({"error": f"rc={proc.returncode}: "
+                          + " ".join(" ".join(tail[-3:]).split())[:200]}, "")
+    return out, (proc.stderr or "")
+
+
+def _e2e_subprocess(stage: int, step_sec: float | None,
+                    budget_cap: float | None = None) -> dict:
+    """Run _bench_e2e_stage in a child process (see _run_bench_child)."""
+    cmd = ["--e2e-sub", str(stage)]
+    if step_sec:
+        cmd += ["--step-sec", str(step_sec)]
+    out, stderr = _run_bench_child(cmd, f"e2e stage {stage}",
+                                   budget_cap=budget_cap)
     if "error" not in out:
         # per-phase seconds of the WARM run (the last complete set of phase
         # lines): powers the projection's derived tail and an s2_step
         # fallback when the stage-2 step metric is budget-skipped
         phases = {}
-        for ln in (proc.stderr or "").splitlines():
+        for ln in stderr.splitlines():
             m = re.match(r"\[phase:stage\d\] (\S+) ([\d.]+)s", ln.strip())
             if m:
                 name = m.group(1)
@@ -482,6 +509,26 @@ def _e2e_sub_main(argv) -> None:
         step_sec = float(argv[argv.index("--step-sec") + 1])
     try:
         print(json.dumps(_bench_e2e_stage(stage, step_sec)))
+    except Exception as e:
+        msg = " ".join(str(e).split())[:300]
+        print(json.dumps({"error": f"{type(e).__name__}: {msg}"}))
+
+
+def _train_sub_main() -> None:
+    """Child entry (--train-sub): the train-step metric, one JSON line on
+    stdout. Runs in a child so the parent can kill a tunnel compile-service
+    slow patch (333 s observed for this very program in round 5, vs ~50 s
+    warm) instead of letting it starve the e2e children's reservations."""
+    import contextlib
+    import sys
+
+    kw = {}
+    if os.environ.get("HI3D_BENCH_SMOKE"):  # CPU plumbing test (tiny model)
+        kw = {"scale": 0.0625, "t": 2, "hw": (8, 8)}
+    try:
+        with contextlib.redirect_stdout(sys.stderr):
+            out = _bench_train(_peak_flops_per_sec(), **kw)
+        print(json.dumps(out))
     except Exception as e:
         msg = " ".join(str(e).split())[:300]
         print(json.dumps({"error": f"{type(e).__name__}: {msg}"}))
@@ -583,13 +630,25 @@ def main() -> None:
     # low-variance, while the e2e1 subprocess's cold cost swings 80-300 s
     # with the tunnel compile-service's state — an overrunning e2e1 starved
     # train out of the round-5 validation run even though both fit on
-    # average. e2e1's own 140 s minimum stays protected by the gate here.
+    # average. It runs in its OWN budget-capped child (a ~20 s import tax,
+    # paid for protection): the same tunnel variance cuts the other way —
+    # one validation run saw this program's server-side compile take 333 s
+    # in-process, which would have starved e2e1 with no recourse. The cap
+    # keeps e2e1's 140 s minimum intact even through a kill at cap+30.
+    TRAIN_CAP = 140.0  # warm child ≈ 75 s (import + cached compile + steps)
     if _remaining() > EST_TRAIN + 140:
-        try:
-            extra.append(_timed(_bench_train, peak))
-        except Exception as e:
-            msg = " ".join(str(e).split())[:160]
-            skipped.append(f"train: {type(e).__name__}: {msg}")
+        t0 = time.monotonic()
+        out, _ = _run_bench_child(
+            ["--train-sub"], "train",
+            budget_cap=min(TRAIN_CAP, _remaining() - 140),
+        )
+        if "error" in out:
+            skipped.append(
+                "train: " + " ".join(str(out["error"]).split())[:300]
+            )
+        else:
+            out["elapsed_s"] = round(time.monotonic() - t0, 1)
+            extra.append(out)
     else:
         skipped.append(f"train: budget (remaining {_remaining():.0f}s, "
                        f"e2e1 reservation 140s)")
@@ -714,5 +773,7 @@ if __name__ == "__main__":
 
     if "--e2e-sub" in sys.argv:
         _e2e_sub_main(sys.argv)
+    elif "--train-sub" in sys.argv:
+        _train_sub_main()
     else:
         main()
