@@ -594,7 +594,7 @@ def main() -> None:
     # with program-cache blobs governed by utils/program_cache (BASELINE.md
     # round-5 cold-start section) — round 4 lost both e2es to constants
     # calibrated under a different blob policy.
-    EST_TRAIN = 55.0   # measured r04: ~50 s warm
+    EST_TRAIN = 75.0   # measured r05: 75 s warm as a child (import tax incl.)
     EST_S2 = 100.0     # measured r04: 93 s warm
     MIN_E2E2 = 170.0   # optimistic floor: ~65 s import+build+init + ~90 s
     # step-independent cold (reduced-step run) + 2×~24 s at 5 steps — the
@@ -659,8 +659,10 @@ def main() -> None:
     # tunnel RPC hang must degrade to a diagnosed skipped entry, not a
     # driver timeout. The child streams phase timers on stderr; on kill the
     # parent attaches them to the skipped entry (hang vs overrun).
-    # Priority: e2e1 > train > stage2 > e2e2 — round-5 measured costs mean
-    # all five metrics cannot fit one 540 s run (BASELINE.md has the math).
+    # Execution order: train (capped child) → e2e1 → stage2 → e2e2; the
+    # caps and reservations keep the PRIORITY order e2e1 > train >
+    # stage2 > e2e2 intact when budget runs short (BASELINE.md has the
+    # math; a fully warm run fits all five).
     _try_e2e(1, primary["sec_per_step"], 140)
 
     if _remaining() > EST_S2:
