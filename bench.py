@@ -39,8 +39,9 @@ import jax
 import jax.numpy as jnp
 
 # Persistent compile cache: owned by hi3d_tpu/__init__.py (imported by every
-# builder below) — dir ~/.cache/hi3d_tpu_xla, min-compile-time 5 s, which the
-# minutes-long bench graphs all clear. Do NOT configure a second cache here:
+# builder below) — dir ~/.cache/hi3d_tpu_xla, min-compile-time 0.5 s
+# (utils/misc.py; every compile costs ≥0.5 s of tunnel RPC, so mid-size
+# graphs cache too). Do NOT configure a second cache here:
 # the package import would override it anyway (measured in round 2 — a
 # bench-local cache dir stayed empty across full runs while the package cache
 # collected every graph).
@@ -209,7 +210,13 @@ def _bench_train(peak, scale=1.0, t=T, hw=STAGE1_HW):
     from hi3d_tpu.models.wrappers import ConcatConditionWrapper
     from hi3d_tpu.training.state import TrainState, build_optimizer, freeze_frozen
     from hi3d_tpu.training.step import make_train_step
+    from hi3d_tpu.utils.misc import PhaseTimer
     from __graft_entry__ import _unet, _zero_params
+
+    # phase marks on stderr (HI3D_TIME_PHASES, same PhaseTimer contract as
+    # the e2e pipelines): lets the parent's timeout-kill diagnosis
+    # distinguish a hung server-side compile from a slow step loop
+    timer = PhaseTimer("train")
 
     T_ = t
     h, w = hw
@@ -263,39 +270,30 @@ def _bench_train(peak, scale=1.0, t=T, hw=STAGE1_HW):
     }
     rng = jax.random.PRNGKey(0)
 
-    def _mark(name, t0):
-        # phase marks on stderr (HI3D_TIME_PHASES): lets the parent's
-        # timeout-kill diagnosis distinguish a hung server-side compile from
-        # a slow step loop, same contract as the e2e children
-        if os.environ.get("HI3D_TIME_PHASES"):
-            import sys
-            print(f"[phase:train] {name} {time.perf_counter() - t0:.2f}s",
-                  file=sys.stderr, flush=True)
+    timer.mark("build")
 
     # step_fn is already jitted (mesh=None path) with state donation; AOT
     # through the program cache so a fresh driver process skips the re-trace
     from hi3d_tpu.utils.program_cache import aot_compile
 
-    t0 = time.perf_counter()
     compiled = aot_compile(
         step_fn, "bench_train_stage1", (TRAINED_KEYS, t, hw),
         (state, batch, rng), donate_argnums=(0,),
     )
-    _mark("compile", t0)
+    timer.mark("compile")
     flops = _compiled_flops(compiled)
     # the state chain makes each step data-dependent on the last; the
     # _materialize readbacks force real execution (see _bench_denoise)
-    t0 = time.perf_counter()
     state, metrics = compiled(state, batch, jax.random.fold_in(rng, 0))
     _materialize(metrics["loss"])
-    _mark("first_step", t0)
+    timer.mark("first_step")
     t0 = time.perf_counter()
     for i in range(TRAIN_STEPS):
         state, metrics = compiled(state, batch, jax.random.fold_in(rng, 1 + i))
     _materialize(metrics["loss"])
     _materialize(jax.tree.leaves(state.params)[0])
     dt = (time.perf_counter() - t0) / TRAIN_STEPS
-    _mark("steps", t0)
+    timer.mark("steps")
     return _result(
         "train_steps_per_sec_chip_stage1_512_svd_adapt", dt, flops, peak
     )
@@ -634,13 +632,14 @@ def main() -> None:
     # paid for protection): the same tunnel variance cuts the other way —
     # one validation run saw this program's server-side compile take 333 s
     # in-process, which would have starved e2e1 with no recourse. The cap
-    # keeps e2e1's 140 s minimum intact even through a kill at cap+30.
+    # keeps e2e1's 140 s minimum intact even through a kill at cap+30 —
+    # the 30 s grace must come out of the cap, not out of e2e1's floor.
     TRAIN_CAP = 140.0  # warm child ≈ 75 s (import + cached compile + steps)
-    if _remaining() > EST_TRAIN + 140:
+    if _remaining() > EST_TRAIN + 170:
         t0 = time.monotonic()
         out, _ = _run_bench_child(
             ["--train-sub"], "train",
-            budget_cap=min(TRAIN_CAP, _remaining() - 140),
+            budget_cap=min(TRAIN_CAP, _remaining() - 170),
         )
         if "error" in out:
             skipped.append(
@@ -651,7 +650,7 @@ def main() -> None:
             extra.append(out)
     else:
         skipped.append(f"train: budget (remaining {_remaining():.0f}s, "
-                       f"e2e1 reservation 140s)")
+                       f"e2e1 reservation 140s + 30s kill grace)")
 
     # e2e per-asset marginals run in SUBPROCESSES of this script
     # (--e2e-sub): the denoise benches leave a 16 GB chip fragmented enough

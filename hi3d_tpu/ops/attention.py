@@ -118,10 +118,13 @@ def flash_self_attention_engages(sq: int, sk: int) -> bool:
     )
 
 
-def _temporal_fused_engages(q_shape, k_shape) -> bool:
+def _temporal_fused_engages(q, k, v) -> bool:
     from .temporal_attention import temporal_attention_supported
 
-    return temporal_attention_supported(q_shape, k_shape)
+    itemsize = jnp.dtype(
+        jnp.result_type(q.dtype, k.dtype, v.dtype)
+    ).itemsize
+    return temporal_attention_supported(q.shape, k.shape, itemsize)
 
 
 def xla_attention_time(
@@ -161,7 +164,7 @@ def xla_attention_time(
             "bshqk,bkhd->bqshd", probs.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
         )
-    elif _temporal_fused_engages(q.shape, k.shape):
+    elif _temporal_fused_engages(q, k, v):
         # frame-axis self-attention: one fused Pallas pass in the layout the
         # qkv projections produce — replaces the 3 qkv layout copies, the f32
         # (B,S,H,T,T) logits materialization, and the slot-starved batched

@@ -467,9 +467,15 @@ def temporal_attention_natural(
     return out.reshape(b, t, s, h, d)
 
 
-def temporal_attention_supported(q_shape, k_shape) -> bool:
+def temporal_attention_supported(q_shape, k_shape, itemsize: int = 2) -> bool:
     """True when the block-local kernel handles this (q, k) self-attention
-    pair coming from ops.attention.xla_attention_time's 5-D layout."""
+    pair coming from ops.attention.xla_attention_time's 5-D layout.
+
+    `itemsize` must be the compute dtype's byte width (callers pass the
+    q/k/v result type's) — the natural kernel's VMEM tile check is
+    dtype-dependent, and this gate must mirror temporal_attention_fused's
+    dispatch exactly: natural tile fits → natural kernel, else the
+    location-major fallback's own block check decides."""
     if not kernel_enabled():
         return False
     if len(q_shape) != 5 or tuple(q_shape) != tuple(k_shape):
@@ -477,7 +483,10 @@ def temporal_attention_supported(q_shape, k_shape) -> bool:
     b, t, s, h, d = q_shape
     if t < 2 or d > 256:
         return False
-    if natural_layout_enabled() and _nat_default_blk_s(s, t, h * d) >= 8:
+    if (
+        natural_layout_enabled()
+        and _nat_default_blk_s(s, t, h * d, itemsize) >= 8
+    ):
         return True
     return default_block(t, s * t) >= 8
 

@@ -38,13 +38,6 @@ from .i2v import UC_ZERO_KEYS
 ALPHA_POW = 40.0
 
 
-def _largest_divisor_at_most(n: int, cap: int) -> int:
-    for d in range(min(cap, n), 0, -1):
-        if n % d == 0:
-            return d
-    return 1
-
-
 def blend_refine(
     model,
     frames: np.ndarray,
@@ -178,7 +171,11 @@ def blend_refine_batch(
     # which trips single-launch watchdogs; split it into several launches of
     # ONE compiled segment (the step indices are a traced argument)
     n = num_sigmas - 1
-    chunk = _largest_divisor_at_most(n, steps_per_launch or n)
+    # one executable per equal segment — same divisor normalization (and
+    # persistent-cache rationale) as the stage-1 sampler scan
+    from ..diffusion.samplers import _equal_chunk
+
+    chunk = _equal_chunk(n, steps_per_launch) or n
     idx = jnp.arange(n)
 
     # guidance-interval turbo (arXiv 2404.07724): CFG only where σ ∈ [lo, hi],

@@ -135,11 +135,14 @@ def test_tight_budget_preserves_e2e1_over_train(monkeypatch, capsys):
 
 
 def test_train_cap_shrinks_toward_e2e1_reservation(monkeypatch, capsys):
-    # 260 s after primary: gate passes (260 > 215) and the cap is
-    # remaining-140 = 120 < TRAIN_CAP — e2e1's floor survives even a kill
+    # 260 s after primary: gate passes (260 > 245) and the cap is
+    # remaining-170 = 90 < TRAIN_CAP — e2e1's 140 s floor survives even a
+    # kill at cap + the 30 s grace (the grace comes out of the cap)
     d = Driver(monkeypatch, 300)
     run_main(capsys)
-    assert d.train_caps == [pytest.approx(120.0, abs=1.0)]
+    assert d.train_caps == [pytest.approx(90.0, abs=1.0)]
+    cap = d.train_caps[0]
+    assert 260 - (cap + 30.0) >= 140.0
 
 
 def test_train_child_failure_is_diagnosed_not_fatal(monkeypatch, capsys):

@@ -96,6 +96,32 @@ def test_supported_predicate(monkeypatch):
     ) == expected
 
 
+def test_supported_predicate_is_dtype_aware(monkeypatch):
+    """The gate must mirror temporal_attention_fused's dispatch for fp32
+    too: at shapes whose natural tile fits in bf16 but not fp32, the
+    dispatcher falls to the location-major kernel, and supported() must
+    answer from that fallback's block check rather than short-circuit on
+    the 2-byte natural check (code-review regression, round 5)."""
+    from hi3d_tpu.ops.temporal_attention import _nat_default_blk_s
+
+    monkeypatch.setenv("HI3D_TEMPORAL_FUSED", "force")
+    shape = (1, 16, 16, 32, 64)  # t·C = 32768: 2-byte tile fits, 4-byte not
+    _, t, s, h, d = shape
+    assert _nat_default_blk_s(s, t, h * d, 2) >= 8
+    assert _nat_default_blk_s(s, t, h * d, 4) == 0
+    # fp32 answer comes from the lm fallback (which handles this shape) —
+    # and the fused dispatcher must agree by executing that path exactly
+    assert temporal_attention_supported(shape, shape, itemsize=4)
+    assert default_block(t, s * t) >= 8
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    q, k, v = (_rand(keys[i], shape, jnp.float32) for i in range(3))
+    got = xla_attention_time(q, k, v)
+    monkeypatch.setenv("HI3D_TEMPORAL_FUSED", "0")
+    want = xla_attention_time(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_block_size():
     # stage-2 top level: 16384·16 tokens, seg 16 → full 512 block (measured
     # best in the round-3 sweep)
