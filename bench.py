@@ -512,6 +512,43 @@ def _e2e_sub_main(argv) -> None:
         print(json.dumps({"error": f"{type(e).__name__}: {msg}"}))
 
 
+def _denoise_subprocess(metric, in_ch, adm, hw, budget_cap=None) -> dict:
+    """One denoise step metric in a budget-capped child (see
+    _run_bench_child). The parent stays backend-free: a C-level tunnel hang
+    inside a blocked XLA RPC cannot be interrupted by in-process means
+    (signals fire only between bytecodes), so ANY metric that touches the
+    chip must be killable from outside or one hang erases the whole record."""
+    out, _ = _run_bench_child(
+        ["--denoise-sub", metric, str(in_ch), str(adm),
+         str(hw[0]), str(hw[1])],
+        metric, budget_cap=budget_cap,
+    )
+    return out
+
+
+def _denoise_sub_main(argv) -> None:
+    """Child entry (--denoise-sub METRIC IN_CH ADM H W): one denoise-step
+    metric, one JSON line on stdout."""
+    import contextlib
+    import sys
+
+    i = argv.index("--denoise-sub")
+    metric, in_ch, adm, h, w = argv[i + 1 : i + 6]
+    kw = {}
+    if os.environ.get("HI3D_BENCH_SMOKE"):  # CPU plumbing test (tiny model)
+        kw = {"scale": 0.0625, "t": 2}
+    try:
+        with contextlib.redirect_stdout(sys.stderr):
+            out = _bench_denoise(
+                metric, int(in_ch), int(adm), (int(h), int(w)),
+                _peak_flops_per_sec(), **kw,
+            )
+        print(json.dumps(out))
+    except Exception as e:
+        msg = " ".join(str(e).split())[:300]
+        print(json.dumps({"error": f"{type(e).__name__}: {msg}"}))
+
+
 def _train_sub_main() -> None:
     """Child entry (--train-sub): the train-step metric, one JSON line on
     stdout. Runs in a child so the parent can kill a tunnel compile-service
@@ -560,19 +597,37 @@ def main() -> None:
         }))
         return
 
-    peak = _peak_flops_per_sec()
     skipped = []
 
-    def _timed(fn, *a, **kw):
+    # The parent NEVER touches the backend from here on: every chip metric
+    # runs in a budget-capped child that can be SIGKILLed. An in-process
+    # metric blocked inside an XLA RPC is uninterruptible (Python signals
+    # fire between bytecodes only) — one tunnel hang would erase the whole
+    # record instead of degrading one metric (observed: jax.devices() hangs
+    # of 10-30 min, a train-step compile at 333 s).
+    PRIMARY_METRIC = "unet_denoise_steps_per_sec_chip_stage1_512"
+    primary = None
+    for attempt in (1, 2):
         t0 = time.monotonic()
-        out = fn(*a, **kw)
-        out["elapsed_s"] = round(time.monotonic() - t0, 1)
-        return out
-
-    primary = _timed(
-        _bench_denoise,
-        "unet_denoise_steps_per_sec_chip_stage1_512", 8, 768, STAGE1_HW, peak,
-    )
+        out = _denoise_subprocess(
+            PRIMARY_METRIC, 8, 768, STAGE1_HW,
+            # generous first-priority cap, but a kill must still leave
+            # e2e1's 140 s floor + the later children a fighting chance
+            budget_cap=min(260.0, max(_remaining() - 170.0, 60.0)),
+        )
+        if "error" not in out:
+            out["elapsed_s"] = round(time.monotonic() - t0, 1)
+            primary = out
+            break
+        skipped.append(f"primary attempt {attempt}: "
+                       + " ".join(str(out["error"]).split())[:300])
+    if primary is None:
+        print(json.dumps({
+            "metric": PRIMARY_METRIC, "value": None,
+            "unit": "steps/sec/chip",
+            "error": "; ".join(skipped),
+        }))
+        return
     primary["vs_baseline"] = round(
         primary["value"] / REF_A100_EST_STEPS_PER_SEC, 4
     )
@@ -634,7 +689,11 @@ def main() -> None:
     # in-process, which would have starved e2e1 with no recourse. The cap
     # keeps e2e1's 140 s minimum intact even through a kill at cap+30 —
     # the 30 s grace must come out of the cap, not out of e2e1's floor.
-    TRAIN_CAP = 140.0  # warm child ≈ 75 s (import + cached compile + steps)
+    # Adaptive: a slow primary child (warm ≈ 60 s with import; 110+ s when
+    # the tunnel compile-service degrades) predicts slow compiles for every
+    # later child, so burn less of the budget proving the train child is
+    # doomed — 100 s still clears the warm cost with margin.
+    TRAIN_CAP = 140.0 if primary["elapsed_s"] < 90 else 100.0
     if _remaining() > EST_TRAIN + 170:
         t0 = time.monotonic()
         out, _ = _run_bench_child(
@@ -665,17 +724,20 @@ def main() -> None:
     _try_e2e(1, primary["sec_per_step"], 140)
 
     if _remaining() > EST_S2:
-        try:
-            m = _timed(
-                _bench_denoise,
-                "unet_denoise_steps_per_sec_chip_stage2_1024",
-                17, 512, STAGE2_HW, peak,
+        t0 = time.monotonic()
+        m = _denoise_subprocess(
+            "unet_denoise_steps_per_sec_chip_stage2_1024",
+            17, 512, STAGE2_HW,
+            budget_cap=min(130.0, max(_remaining() - 30.0, 30.0)),
+        )
+        if "error" in m:  # OOM/compile/hang must not kill the line
+            skipped.append(
+                "stage2: " + " ".join(str(m["error"]).split())[:300]
             )
+        else:
+            m["elapsed_s"] = round(time.monotonic() - t0, 1)
             s2_step = m["sec_per_step"]
             extra.append(m)
-        except Exception as e:  # OOM/compile failure must not kill the line
-            msg = " ".join(str(e).split())[:160]
-            skipped.append(f"stage2: {type(e).__name__}: {msg}")
     else:
         skipped.append(f"stage2: budget (remaining {_remaining():.0f}s)")
 
@@ -776,5 +838,7 @@ if __name__ == "__main__":
         _e2e_sub_main(sys.argv)
     elif "--train-sub" in sys.argv:
         _train_sub_main()
+    elif "--denoise-sub" in sys.argv:
+        _denoise_sub_main(sys.argv)
     else:
         main()
